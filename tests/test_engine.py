@@ -1,0 +1,126 @@
+"""Decode-engine tests: greedy parity vs a torch reference loop, bucketing."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import thewhisper_tpu.models as M
+from thewhisper_tpu.config import GenerationOptions, SpecialTokens
+from thewhisper_tpu.engine import WhisperEngine
+from thewhisper_tpu.engine.decode import greedy_decode
+from thewhisper_tpu.models.whisper import compute_cross_kv, make_cache
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    import torch
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    torch.manual_seed(1)
+    cfg = WhisperConfig(
+        vocab_size=200, num_mel_bins=80, d_model=64,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=128, decoder_ffn_dim=128,
+        max_source_positions=50, max_target_positions=40,
+        pad_token_id=0, bos_token_id=0, eos_token_id=1,
+        decoder_start_token_id=2,
+    )
+    model = WhisperForConditionalGeneration(cfg).eval()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    arch = M.arch_from_hf_config(cfg.to_dict(), alignment_heads=((1, 0),))
+    params = M.params_from_hf_state_dict(state, arch)
+    return model, arch, params
+
+
+def _torch_greedy(model, mel, prompt, max_new, eot):
+    """Reference greedy loop in torch (no HF generate() quirks)."""
+    import torch
+
+    with torch.no_grad():
+        tokens = torch.from_numpy(np.tile(prompt, (mel.shape[0], 1)))
+        feats = torch.from_numpy(mel)
+        done = torch.zeros(mel.shape[0], dtype=torch.bool)
+        for _ in range(max_new):
+            logits = model(input_features=feats, decoder_input_ids=tokens).logits
+            nxt = logits[:, -1].argmax(-1)
+            nxt = torch.where(done, torch.tensor(eot), nxt)
+            tokens = torch.cat([tokens, nxt[:, None]], dim=1)
+            done |= nxt == eot
+            if bool(done.all()):
+                break
+    return tokens.numpy()
+
+
+def test_greedy_decode_matches_torch(tiny):
+    model, arch, params = tiny
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, 80, 100)).astype(np.float32)
+    prompt = np.array([2, 5, 7], dtype=np.int32)
+    max_new = 10
+    eot = 1
+
+    ref = _torch_greedy(model, mel, prompt, max_new, eot)
+
+    enc = M.encoder_forward(params, jnp.asarray(mel), arch)
+    ck, cv = compute_cross_kv(params, enc, arch)
+    cache = make_cache(arch, 2, len(prompt) + max_new, ck, cv)
+    out = greedy_decode(
+        params, arch, jnp.asarray(np.tile(prompt, (2, 1))), cache,
+        max_new, eot, capture_alignment=True)
+
+    ours = np.asarray(out.tokens)
+    for b in range(2):
+        n_ref = ref.shape[1] - len(prompt)
+        n = min(n_ref, int(np.asarray(out.num_generated)[b]) + 1)
+        np.testing.assert_array_equal(
+            ours[b, len(prompt): len(prompt) + n], ref[b, len(prompt): len(prompt) + n])
+    # Alignment buffer has prob rows for prompt + generated-1 positions.
+    assert out.align.shape == (2, 1, len(prompt) + max_new, enc.shape[1])
+
+
+def test_engine_bucketing_and_padding(tiny):
+    _, arch, params = tiny
+    sp = SpecialTokens(
+        eot=1, sot=2, first_language=10, n_languages=5,
+        translate=20, transcribe=21, no_speech=22, no_timestamps=23,
+        timestamp_begin=24,
+    )
+    eng = WhisperEngine(params, arch, special=sp, batch_buckets=(1, 4))
+    rng = np.random.default_rng(1)
+    mel3 = rng.standard_normal((3, 80, 100)).astype(np.float32)
+    opts = GenerationOptions(max_new_tokens=6, language="en", return_timestamps=True)
+    res = eng.transcribe_features(mel3, opts)
+    assert res.tokens.shape[0] == 3          # padding row stripped
+    assert res.align.shape[0] == 3
+    assert res.prompt_len == 4
+
+    # Same audio alone in a batch-1 bucket gives identical tokens.
+    res1 = eng.transcribe_features(mel3[:1], opts)
+    np.testing.assert_array_equal(res1.tokens[0], res.tokens[0])
+
+
+def test_engine_suppress_tokens(tiny):
+    _, arch, params = tiny
+    sp = SpecialTokens(
+        eot=1, sot=2, first_language=10, n_languages=5,
+        translate=20, transcribe=21, no_speech=22, no_timestamps=23,
+        timestamp_begin=24,
+    )
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((1, 80, 100)).astype(np.float32)
+    opts = GenerationOptions(max_new_tokens=8, language="en")
+
+    base = WhisperEngine(params, arch, special=sp, batch_buckets=(1,))
+    res = base.transcribe_features(mel, opts)
+    generated = res.tokens[0, res.prompt_len:res.prompt_len + res.num_generated[0]]
+    assert len(generated) > 0
+    banned = int(generated[0])
+
+    eng = WhisperEngine(
+        params, arch, special=sp, batch_buckets=(1,), suppress_tokens=[banned])
+    res2 = eng.transcribe_features(mel, opts)
+    gen2 = res2.tokens[0, res2.prompt_len:res2.prompt_len + res2.num_generated[0]]
+    assert banned not in gen2.tolist()

@@ -1,0 +1,134 @@
+"""On-device greedy decode loop with alignment capture.
+
+The generation loop is a single ``lax.while_loop`` compiled into the same XLA
+executable as the encoder: between tokens nothing crosses the host boundary.
+This removes the reference's per-token cache conversion tax
+(``apple/model.py:155-255``, SURVEY.md section 3.1 "hot loops").
+
+Semantics mirror HF Whisper generation under the eval protocol
+(greedy, ``num_beams=1``): ``suppress_tokens`` masked at every step,
+``begin_suppress_tokens`` at the first sampled position only, prompt =
+``[sot, lang, task, notimestamps]``, stop on EOT or ``max_new_tokens``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thewhisper_tpu.config import WhisperArch
+from thewhisper_tpu.models.whisper import (
+    DecodeCache,
+    decoder_prefill,
+    decoder_step,
+)
+
+NEG_INF = jnp.float32(-1e9)
+
+
+def suppress_mask(vocab_size: int, token_ids: Sequence[int]) -> np.ndarray:
+    """(V,) additive mask: -1e9 at suppressed ids, 0 elsewhere."""
+    mask = np.zeros((vocab_size,), dtype=np.float32)
+    ids = [t for t in token_ids if 0 <= t < vocab_size]
+    mask[ids] = -1e9
+    return mask
+
+
+class GreedyResult(NamedTuple):
+    tokens: jnp.ndarray        # (B, P + max_new) int32; prompt + generated
+    num_generated: jnp.ndarray  # (B,) int32, count before/including EOT
+    sum_logprob: jnp.ndarray   # (B,) f32 over generated tokens (for filters)
+    align: jnp.ndarray         # (B, A, P + max_new, T_enc) f32 (zeros if off)
+
+
+def greedy_decode(
+    params,
+    arch: WhisperArch,
+    prompt: jnp.ndarray,              # (B, P) int32
+    cache: DecodeCache,
+    max_new_tokens: int,
+    eot: int,
+    suppress: Optional[jnp.ndarray] = None,        # (V,) additive
+    begin_suppress: Optional[jnp.ndarray] = None,  # (V,) additive
+    capture_alignment: bool = False,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> GreedyResult:
+    b, p = prompt.shape
+    s_max = p + max_new_tokens
+    t_enc = cache.cross_k.shape[2]
+    n_align = max(1, len(arch.alignment_heads))
+    v = arch.vocab_size
+
+    logits_p, cache, align_p = decoder_prefill(
+        params, prompt, cache, arch, compute_dtype)
+
+    if capture_alignment:
+        align_buf = jnp.zeros((b, n_align, s_max, t_enc), dtype=jnp.float32)
+        # (B, P, A, T) -> (B, A, P, T)
+        align_buf = jax.lax.dynamic_update_slice(
+            align_buf, jnp.transpose(align_p, (0, 2, 1, 3)), (0, 0, 0, 0))
+    else:
+        align_buf = jnp.zeros((b, 1, 1, 1), dtype=jnp.float32)
+
+    def pick(step_logits: jnp.ndarray, is_first: jnp.ndarray):
+        x = step_logits
+        if suppress is not None:
+            x = x + suppress
+        if begin_suppress is not None:
+            x = x + jnp.where(is_first, begin_suppress, jnp.zeros_like(begin_suppress))
+        logprobs = jax.nn.log_softmax(x, axis=-1)
+        nxt = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
+        return nxt, lp
+
+    first_tok, first_lp = pick(logits_p[:, -1], jnp.bool_(True))
+
+    tokens = jnp.zeros((b, s_max), dtype=jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
+    tokens = tokens.at[:, p].set(first_tok)
+    done0 = first_tok == eot
+    sum_lp0 = jnp.where(done0, 0.0, first_lp)
+
+    class Carry(NamedTuple):
+        step: jnp.ndarray
+        tokens: jnp.ndarray
+        done: jnp.ndarray
+        cache: DecodeCache
+        align: jnp.ndarray
+        sum_lp: jnp.ndarray
+
+    def cond(c: Carry):
+        return (c.step < max_new_tokens) & ~jnp.all(c.done)
+
+    def body(c: Carry):
+        pos = p + c.step - 1          # cache slot of the token being fed
+        tok = jax.lax.dynamic_slice(c.tokens, (0, pos), (b, 1))
+        logits, new_cache, align_step = decoder_step(
+            params, tok, pos.astype(jnp.int32), c.cache, arch, compute_dtype)
+        nxt, lp = pick(logits, jnp.bool_(False))
+        nxt = jnp.where(c.done, eot, nxt)
+        new_tokens = jax.lax.dynamic_update_slice(
+            c.tokens, nxt[:, None], (0, pos + 1))
+        new_done = c.done | (nxt == eot)
+        new_sum = c.sum_lp + jnp.where(c.done | (nxt == eot), 0.0, lp)
+        if capture_alignment:
+            new_align = jax.lax.dynamic_update_slice(
+                c.align, align_step[:, :, None, :], (0, 0, pos, 0))
+        else:
+            new_align = c.align
+        return Carry(c.step + 1, new_tokens, new_done, new_cache, new_align, new_sum)
+
+    init = Carry(jnp.int32(1), tokens, done0, cache, align_buf, sum_lp0)
+    out = jax.lax.while_loop(cond, body, init)
+
+    # Count generated tokens per sequence (first EOT position, else max_new).
+    gen = out.tokens[:, p:]
+    is_eot = gen == eot
+    any_eot = jnp.any(is_eot, axis=1)
+    first_eot = jnp.argmax(is_eot, axis=1)
+    num_generated = jnp.where(any_eot, first_eot, max_new_tokens).astype(jnp.int32)
+
+    return GreedyResult(out.tokens, num_generated, out.sum_lp, out.align)

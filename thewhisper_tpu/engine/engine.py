@@ -1,0 +1,216 @@
+"""WhisperEngine: bucketed, jitted end-to-end transcription executor.
+
+The TPU analog of the reference's binary engines (CoreML ``.mlmodelc`` /
+TensorRT ``elastic_models``, SURVEY.md section 2.5): one XLA executable per
+(batch bucket, chunk length, max_new_tokens, timestamps) combination — the
+"flexi-static" bucketed-static-cache design — with features -> encoder ->
+cross-KV -> prefill -> while-loop decode fused into a single device program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import threading
+import time
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thewhisper_tpu.config import (
+    GenerationOptions,
+    LANGUAGES,
+    SpecialTokens,
+    WhisperArch,
+)
+from thewhisper_tpu.engine.decode import GreedyResult, greedy_decode, suppress_mask
+from thewhisper_tpu.models.whisper import (
+    compute_cross_kv,
+    encoder_forward,
+    make_cache,
+)
+
+# Batch sizes we compile for; requests are padded up to the nearest bucket.
+DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+class EngineResult(NamedTuple):
+    """Host-side result of a transcription call (already unpadded)."""
+
+    tokens: np.ndarray         # (B, P+max_new) int32
+    num_generated: np.ndarray  # (B,)
+    prompt_len: int
+    sum_logprob: np.ndarray    # (B,)
+    align: Optional[np.ndarray]  # (B, A, P+max_new, T_enc) or None
+    decode_time_s: float
+
+
+def _bucket_batch(b: int, buckets: Sequence[int]) -> int:
+    for cand in buckets:
+        if b <= cand:
+            return cand
+    return b
+
+
+class WhisperEngine:
+    """Jitted Whisper inference with static shape buckets.
+
+    Parameters live on device once; every public call routes through a
+    cached compiled executable keyed by static shapes.
+    """
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        arch: WhisperArch,
+        special: Optional[SpecialTokens] = None,
+        compute_dtype: jnp.dtype = jnp.float32,
+        suppress_tokens: Sequence[int] = (),
+        begin_suppress_tokens: Sequence[int] = (),
+        batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+        cache_dtype: Optional[jnp.dtype] = None,
+    ):
+        self.arch = arch
+        self.special = special or SpecialTokens.for_vocab(arch.vocab_size)
+        self.compute_dtype = compute_dtype
+        self.cache_dtype = cache_dtype or compute_dtype
+        self.batch_buckets = tuple(batch_buckets)
+        self.params = jax.device_put(params)
+        self._suppress = (
+            jnp.asarray(suppress_mask(arch.vocab_size, suppress_tokens))
+            if len(suppress_tokens) else None)
+        self._begin_suppress = (
+            jnp.asarray(suppress_mask(arch.vocab_size, begin_suppress_tokens))
+            if len(begin_suppress_tokens) else None)
+        self._jit_cache: Dict[Tuple, Any] = {}
+        self._lock = threading.Lock()
+        # Wall-clock accumulator, parity with the reference's
+        # ``total_time_worked`` (apple/model.py:59,80-89).
+        self.total_time_worked = 0.0
+
+    # -- prompt construction -------------------------------------------------
+
+    def build_prompt(self, language: Optional[str], task: str = "transcribe") -> list:
+        sp = self.special
+        lang = language or "en"
+        lang_id = sp.language_id(lang, LANGUAGES[: sp.n_languages])
+        task_id = sp.transcribe if task == "transcribe" else sp.translate
+        return [sp.sot, lang_id, task_id, sp.no_timestamps]
+
+    # -- compiled program ----------------------------------------------------
+
+    def _generate_fn(self, batch: int, t_mel: int, prompt_len: int,
+                     max_new: int, timestamps: bool):
+        key = (batch, t_mel, prompt_len, max_new, timestamps)
+        with self._lock:
+            fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+
+        arch = self.arch
+        compute_dtype = self.compute_dtype
+        cache_dtype = self.cache_dtype
+        eot = self.special.eot
+        suppress = self._suppress
+        begin_suppress = self._begin_suppress
+
+        def program(params, mel, prompt):
+            enc = encoder_forward(params, mel, arch, compute_dtype)
+            ck, cv = compute_cross_kv(params, enc, arch)
+            cache = make_cache(
+                arch, batch, prompt_len + max_new,
+                ck.astype(cache_dtype), cv.astype(cache_dtype),
+                dtype=cache_dtype)
+            return greedy_decode(
+                params, arch, prompt, cache, max_new, eot,
+                suppress=suppress, begin_suppress=begin_suppress,
+                capture_alignment=timestamps, compute_dtype=compute_dtype)
+
+        fn = jax.jit(program)
+        with self._lock:
+            self._jit_cache[key] = fn
+        return fn
+
+    # -- public API ----------------------------------------------------------
+
+    def transcribe_features(
+        self,
+        mel: np.ndarray,                    # (B, n_mels, T_mel)
+        options: GenerationOptions,
+    ) -> EngineResult:
+        mel = np.asarray(mel, dtype=np.float32)
+        if mel.ndim == 2:
+            mel = mel[None]
+        b = mel.shape[0]
+        bb = _bucket_batch(b, self.batch_buckets)
+        if bb != b:
+            mel = np.concatenate(
+                [mel, np.zeros((bb - b, *mel.shape[1:]), np.float32)], axis=0)
+
+        prompt = self.build_prompt(options.language, options.task)
+        prompt_arr = jnp.asarray(
+            np.tile(np.asarray(prompt, np.int32), (bb, 1)))
+
+        fn = self._generate_fn(
+            bb, mel.shape[-1], len(prompt), options.max_new_tokens,
+            options.return_timestamps)
+        t0 = time.perf_counter()
+        result: GreedyResult = fn(self.params, jnp.asarray(mel), prompt_arr)
+        tokens = np.asarray(result.tokens)           # blocks until done
+        dt = time.perf_counter() - t0
+        self.total_time_worked += dt
+
+        num_gen = np.asarray(result.num_generated)
+        sum_lp = np.asarray(result.sum_logprob)
+        align = np.asarray(result.align) if options.return_timestamps else None
+        return EngineResult(
+            tokens=tokens[:b],
+            num_generated=num_gen[:b],
+            prompt_len=len(prompt),
+            sum_logprob=sum_lp[:b],
+            align=align[:b] if align is not None else None,
+            decode_time_s=dt,
+        )
+
+    def warmup(self, t_mel: int, batches: Sequence[int] = (1,),
+               max_new_tokens: int = 128, timestamps: bool = True) -> None:
+        """Pre-compile executables for the given buckets."""
+        for b in batches:
+            opts = GenerationOptions(
+                max_new_tokens=max_new_tokens, return_timestamps=timestamps)
+            mel = np.zeros((b, self.arch.n_mels, t_mel), np.float32)
+            self.transcribe_features(mel, opts)
+
+    @staticmethod
+    def from_checkpoint(
+        path: str,
+        chunk_length_s: float = 30.0,
+        compute_dtype: jnp.dtype = jnp.bfloat16,
+        position_mode: Optional[str] = None,
+    ) -> "WhisperEngine":
+        """Build an engine from an HF checkpoint directory.
+
+        Reads suppress-token lists from the checkpoint generation config
+        (parity with HF generate defaults).
+        """
+        import json
+        import os
+
+        from thewhisper_tpu.models.load import load_checkpoint
+
+        params, arch = load_checkpoint(
+            path, dtype=compute_dtype, chunk_length_s=chunk_length_s,
+            position_mode=position_mode)
+        suppress: Sequence[int] = ()
+        begin: Sequence[int] = ()
+        gen_path = os.path.join(path, "generation_config.json")
+        if os.path.exists(gen_path):
+            with open(gen_path) as f:
+                gc = json.load(f)
+            suppress = gc.get("suppress_tokens", []) or []
+            begin = gc.get("begin_suppress_tokens", []) or []
+        return WhisperEngine(
+            params, arch, compute_dtype=compute_dtype,
+            suppress_tokens=suppress, begin_suppress_tokens=begin)

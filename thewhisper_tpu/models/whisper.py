@@ -1,0 +1,474 @@
+"""Whisper encoder/decoder as pure-functional JAX on parameter pytrees.
+
+TPU-first design decisions (vs the reference's MLX/torch graphs,
+``apple/mlx_modules.py``):
+
+- Per-layer weights are **stacked along a leading layer axis** and the
+  transformer stack is a single ``lax.scan`` — one compiled layer body
+  instead of L unrolled layers, which keeps XLA compile time flat in depth
+  (the reference's 32-layer encoder would otherwise dominate compile).
+- Attention is plain einsum + softmax; XLA fuses the elementwise tail and
+  maps the contractions onto the MXU. bf16 activations, f32 layernorm and
+  softmax accumulation.
+- The decoder exposes two entry points: ``decoder_prefill`` (full forced
+  prompt at once, builds the KV cache) and ``decoder_step`` (one token with
+  an in-place-updated static cache). Both return cross-attention
+  probabilities *pre-reduced over the checkpoint's alignment heads* — the
+  DTW word-timestamp input — so the decode loop stores (B, A, T_enc) per
+  step instead of all heads (the reference recomputes QK on a slow path for
+  this, ``mlx_modules.py:97-119``).
+
+Parameter layout (all linear weights stored (in, out), i.e. transposed from
+HF's ``nn.Linear``): see ``models/load.py`` for the exact mapping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thewhisper_tpu.config import WhisperArch
+
+# A params "pytree" is a nested dict of jnp arrays:
+# {
+#   "encoder": {
+#     "conv1": {"w": (d, n_mels, 3), "b": (d,)},
+#     "conv2": {"w": (d, d, 3), "b": (d,)},
+#     "pos_emb": (T_src, d),
+#     "layers": { ... each leaf has leading dim L_enc ... },
+#     "ln_post": {"scale": (d,), "bias": (d,)},
+#   },
+#   "decoder": {
+#     "token_emb": (vocab, d),
+#     "pos_emb": (448, d),
+#     "layers": { ... leading dim L_dec ... },
+#     "ln_post": {"scale": (d,), "bias": (d,)},
+#   },
+# }
+WhisperParams = Dict[str, Any]
+
+
+class DecodeCache(NamedTuple):
+    """Static-shape KV cache — the "flexi-static" analog (SURVEY 2.5).
+
+    self_k/self_v: (L, B, S_max, H, dh) updated in place each step.
+    cross_k/cross_v: (L, B, T_enc, H, dh) computed once per audio window.
+    """
+
+    self_k: jnp.ndarray
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray
+    cross_v: jnp.ndarray
+
+
+def _prec(dtype) -> Optional[jax.lax.Precision]:
+    """Matmul/conv precision: true f32 when computing in f32.
+
+    XLA's default precision for f32 contractions is reduced (bf16 passes on
+    TPU, and a low-precision conv path on CPU, ~1e-1 abs error observed).
+    bf16 compute keeps the fast MXU-native default.
+    """
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype), precision=_prec(x.dtype))
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """(B, S, d) -> (B, S, H, dh)."""
+    b, s, d = x.shape
+    return x.reshape(b, s, n_heads, d // n_heads)
+
+
+def _attention(
+    q: jnp.ndarray,     # (B, Sq, H, dh)
+    k: jnp.ndarray,     # (B, Sk, H, dh)
+    v: jnp.ndarray,     # (B, Sk, H, dh)
+    mask: Optional[jnp.ndarray],  # broadcastable to (B, H, Sq, Sk), True=keep
+    return_probs: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    dh = q.shape[-1]
+    scale = dh ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32,
+        precision=_prec(q.dtype),
+    )
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e9))
+    probs32 = jax.nn.softmax(logits, axis=-1)
+    probs = probs32.astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=_prec(v.dtype))
+    return out, (probs32 if return_probs else None)
+
+
+def _mha(
+    x: jnp.ndarray,
+    kv: jnp.ndarray,
+    p: Dict[str, Any],
+    n_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    return_probs: bool = False,
+):
+    """Full attention: project q from x, k/v from kv, combine heads."""
+    q = _split_heads(_linear(x, p["q_w"], p["q_b"]), n_heads)
+    k = _split_heads(_linear(kv, p["k_w"], None), n_heads)
+    v = _split_heads(_linear(kv, p["v_w"], p["v_b"]), n_heads)
+    out, probs = _attention(q, k, v, mask, return_probs)
+    b, s, h, dh = out.shape
+    out = _linear(out.reshape(b, s, h * dh), p["o_w"], p["o_b"])
+    return out, probs
+
+
+def _mlp(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
+    h = _linear(x, p["fc1_w"], p["fc1_b"])
+    h = jax.nn.gelu(h, approximate=False)
+    return _linear(h, p["fc2_w"], p["fc2_b"])
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("arch", "compute_dtype"))
+def encoder_forward(
+    params: WhisperParams,
+    mel: jnp.ndarray,            # (B, n_mels, T_mel)
+    arch: WhisperArch,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Conv stem + transformer stack + final LN. Returns (B, T_mel//2, d).
+
+    Flexible chunks: the caller supplies ``params["encoder"]["pos_emb"]``
+    already truncated (flexible fine-tunes, ``mlx_modules.py:198-199``) or
+    interpolated (HF weights, ``nvidia/asr_pipeline.py:15-27``) to
+    ``T_mel // 2`` rows — both mechanisms live in ``models/load.py``.
+    """
+    enc = params["encoder"]
+    x = mel.astype(compute_dtype)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, enc["conv1"]["w"].shape, ("NCH", "OIH", "NCH"))
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1"]["w"].astype(compute_dtype), (1,), [(1, 1)], dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=_prec(compute_dtype),
+    ).astype(compute_dtype) + enc["conv1"]["b"].astype(compute_dtype)[None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    dn2 = jax.lax.conv_dimension_numbers(x.shape, enc["conv2"]["w"].shape, ("NCH", "OIH", "NCH"))
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2"]["w"].astype(compute_dtype), (2,), [(1, 1)], dimension_numbers=dn2,
+        preferred_element_type=jnp.float32, precision=_prec(compute_dtype),
+    ).astype(compute_dtype) + enc["conv2"]["b"].astype(compute_dtype)[None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+
+    x = jnp.transpose(x, (0, 2, 1))                     # (B, T, d)
+    t = x.shape[1]
+    x = x + enc["pos_emb"][:t].astype(compute_dtype)
+
+    n_heads = arch.encoder_heads
+
+    def layer(carry, lp):
+        h = carry
+        a_in = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"])
+        a, _ = _mha(a_in, a_in, lp["attn"], n_heads)
+        h = h + a
+        m = _mlp(_layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"]), lp["mlp"])
+        h = h + m
+        return h, None
+
+    x, _ = jax.lax.scan(layer, x, enc["layers"])
+    x = _layer_norm(x, enc["ln_post"]["scale"], enc["ln_post"]["bias"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _alignment_selector(arch: WhisperArch) -> np.ndarray:
+    """(L, H, A) one-hot selecting each alignment head's (layer, head).
+
+    Contracting per-layer cross-attention probs with this tensor inside the
+    layer scan accumulates exactly the alignment-head rows — no full
+    (L, H, ...) attention ever materializes (cf. ``model.py:730-743``).
+    """
+    heads = arch.alignment_heads
+    a = max(1, len(heads))
+    sel = np.zeros((arch.decoder_layers, arch.decoder_heads, a), dtype=np.float32)
+    for i, (layer, head) in enumerate(heads):
+        sel[layer, head, i] = 1.0
+    return sel
+
+
+def compute_cross_kv(
+    params: WhisperParams, enc_out: jnp.ndarray, arch: WhisperArch
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute cross-attention K/V for all layers: (L, B, T, H, dh)."""
+    n_heads = arch.decoder_heads
+
+    def one_layer(lp):
+        k = _split_heads(_linear(enc_out, lp["cross"]["k_w"], None), n_heads)
+        v = _split_heads(_linear(enc_out, lp["cross"]["v_w"], lp["cross"]["v_b"]), n_heads)
+        return k, v
+
+    k, v = jax.vmap(one_layer)(params["decoder"]["layers"])
+    return k, v
+
+
+def _decoder_stack(
+    params: WhisperParams,
+    x: jnp.ndarray,               # (B, S, d) embedded inputs
+    arch: WhisperArch,
+    self_mask: Optional[jnp.ndarray],
+    cache: Optional[DecodeCache],
+    cache_index: Optional[jnp.ndarray],
+    align_sel: jnp.ndarray,        # (L, H, A)
+) -> Tuple[jnp.ndarray, Optional[DecodeCache], jnp.ndarray]:
+    """Shared scan over decoder layers.
+
+    Without a cache (training/parity path) attends over the full sequence.
+    With a cache, writes this step's K/V at ``cache_index`` and attends over
+    the whole static cache under ``self_mask``.
+    Returns (hidden, new_cache, align_probs (B, S, A, T_enc)).
+    """
+    dec = params["decoder"]
+    n_heads = arch.decoder_heads
+
+    def layer(carry, xs):
+        h = carry
+        lp, cross_k, cross_v, self_k, self_v = xs
+
+        # Self-attention.
+        q_in = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"])
+        q = _split_heads(_linear(q_in, lp["self"]["q_w"], lp["self"]["q_b"]), n_heads)
+        k = _split_heads(_linear(q_in, lp["self"]["k_w"], None), n_heads)
+        v = _split_heads(_linear(q_in, lp["self"]["v_w"], lp["self"]["v_b"]), n_heads)
+        if self_k is not None:
+            self_k = jax.lax.dynamic_update_slice(
+                self_k, k.astype(self_k.dtype), (0, cache_index, 0, 0))
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, v.astype(self_v.dtype), (0, cache_index, 0, 0))
+            k_all, v_all = self_k, self_v
+        else:
+            k_all, v_all = k, v
+        a, _ = _attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), self_mask)
+        b, s, hh, dh = a.shape
+        h = h + _linear(a.reshape(b, s, hh * dh), lp["self"]["o_w"], lp["self"]["o_b"])
+
+        # Cross-attention (precomputed K/V). Alignment probs via selector.
+        c_in = _layer_norm(h, lp["ln_cross"]["scale"], lp["ln_cross"]["bias"])
+        cq = _split_heads(_linear(c_in, lp["cross"]["q_w"], lp["cross"]["q_b"]), n_heads)
+        c, probs = _attention(cq, cross_k.astype(cq.dtype), cross_v.astype(cq.dtype),
+                              None, return_probs=True)
+        align = jnp.einsum("bhqk,ha->bqak", probs, xs[0]["_align_sel"])
+        h = h + _linear(c.reshape(b, s, hh * dh), lp["cross"]["o_w"], lp["cross"]["o_b"])
+
+        # MLP.
+        h = h + _mlp(_layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"]), lp["mlp"])
+        return h, (self_k, self_v, align)
+
+    layers = dict(dec["layers"])
+    layers["_align_sel"] = jnp.asarray(align_sel)
+
+    if cache is not None:
+        xs = (layers, cache.cross_k, cache.cross_v, cache.self_k, cache.self_v)
+        x, (new_k, new_v, aligns) = jax.lax.scan(layer, x, xs)
+        new_cache = DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+    else:
+        # No self cache: cross K/V still required (pass via cache=None only
+        # for training where caller precomputed them).
+        raise ValueError("_decoder_stack requires a cache; use decoder_train_forward")
+
+    x = _layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
+    align_probs = jnp.sum(aligns, axis=0)  # (B, S, A, T_enc) summed == selected
+    return x, new_cache, align_probs
+
+
+def _embed_tokens(dec: Dict[str, Any], tokens: jnp.ndarray, offset, dtype) -> jnp.ndarray:
+    emb = dec["token_emb"].astype(dtype)[tokens]        # (B, S, d)
+    s = tokens.shape[1]
+    pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], offset, s, axis=0)
+    return emb + pos.astype(dtype)
+
+
+def _logits(dec: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum(
+        "bsd,vd->bsv", x, dec["token_emb"].astype(x.dtype),
+        preferred_element_type=jnp.float32, precision=_prec(x.dtype),
+    )
+
+
+def decoder_prefill(
+    params: WhisperParams,
+    tokens: jnp.ndarray,          # (B, P) forced prompt
+    cache: DecodeCache,
+    arch: WhisperArch,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, DecodeCache, jnp.ndarray]:
+    """Run the forced prompt in one pass, filling cache slots [0, P).
+
+    Returns (logits (B, P, V) f32, cache, align_probs (B, P, A, T_enc)).
+    """
+    b, p = tokens.shape
+    x = _embed_tokens(params["decoder"], tokens, 0, compute_dtype)
+    s_max = cache.self_k.shape[2]
+    q_pos = jnp.arange(p)[:, None]
+    k_pos = jnp.arange(s_max)[None, :]
+    mask = (k_pos <= q_pos)[None, None, :, :]           # causal over cache slots
+    x, new_cache, align = _decoder_stack(
+        params, x, arch, mask, cache, jnp.int32(0), _alignment_selector(arch))
+    return _logits(params["decoder"], x), new_cache, align
+
+
+def decoder_step(
+    params: WhisperParams,
+    token: jnp.ndarray,           # (B, 1)
+    position: jnp.ndarray,        # scalar int32: index of this token
+    cache: DecodeCache,
+    arch: WhisperArch,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, DecodeCache, jnp.ndarray]:
+    """One on-device decode step. Returns (logits (B, V) f32, cache, align).
+
+    This is the hot loop the reference pays a host round trip for on every
+    token (``apple/model.py:155-255``); here it stays inside
+    ``lax.while_loop`` in the engine.
+    """
+    x = _embed_tokens(params["decoder"], token, position, compute_dtype)
+    s_max = cache.self_k.shape[2]
+    mask = (jnp.arange(s_max) <= position)[None, None, None, :]
+    x, new_cache, align = _decoder_stack(
+        params, x, arch, mask, cache, position, _alignment_selector(arch))
+    return _logits(params["decoder"], x)[:, 0], new_cache, align[:, 0]
+
+
+def decoder_train_forward(
+    params: WhisperParams,
+    tokens: jnp.ndarray,          # (B, S)
+    enc_out: jnp.ndarray,         # (B, T, d)
+    arch: WhisperArch,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Teacher-forced full-sequence decoder (training / parity tests).
+
+    Returns logits (B, S, V) in f32.
+    """
+    dec = params["decoder"]
+    n_heads = arch.decoder_heads
+    b, s = tokens.shape
+    x = _embed_tokens(dec, tokens, 0, compute_dtype)
+    causal = (jnp.arange(s)[None, :] <= jnp.arange(s)[:, None])[None, None, :, :]
+    enc_out = enc_out.astype(compute_dtype)
+
+    def layer(carry, lp):
+        h = carry
+        q_in = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"])
+        a, _ = _mha(q_in, q_in, lp["self"], n_heads, causal)
+        h = h + a
+        c_in = _layer_norm(h, lp["ln_cross"]["scale"], lp["ln_cross"]["bias"])
+        c, _ = _mha(c_in, enc_out, lp["cross"], n_heads)
+        h = h + c
+        h = h + _mlp(_layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"]), lp["mlp"])
+        return h, None
+
+    x, _ = jax.lax.scan(layer, x, dec["layers"])
+    x = _layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
+    return _logits(dec, x)
+
+
+def make_cache(
+    arch: WhisperArch,
+    batch: int,
+    max_len: int,
+    cross_k: jnp.ndarray,
+    cross_v: jnp.ndarray,
+    dtype: jnp.dtype = jnp.float32,
+) -> DecodeCache:
+    l, h, dh = arch.decoder_layers, arch.decoder_heads, arch.head_dim
+    zeros = jnp.zeros((l, batch, max_len, h, dh), dtype=dtype)
+    return DecodeCache(zeros, zeros, cross_k, cross_v)
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests, benchmarks; real weights come from models/load.py)
+# ---------------------------------------------------------------------------
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed sinusoidal encoder positions (mlx_modules.py:27-33)."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def init_params(
+    arch: WhisperArch, seed: int = 0, dtype: jnp.dtype = jnp.float32
+) -> WhisperParams:
+    rng = np.random.default_rng(seed)
+    d, ff = arch.d_model, arch.d_ff
+
+    def lin(i, o):
+        return (rng.standard_normal((i, o)) * (0.02)).astype(np.float32)
+
+    def vec(n, val=0.0):
+        return np.full((n,), val, dtype=np.float32)
+
+    def attn_params(with_cross=False):
+        p = {
+            "q_w": lin(d, d), "q_b": vec(d), "k_w": lin(d, d),
+            "v_w": lin(d, d), "v_b": vec(d), "o_w": lin(d, d), "o_b": vec(d),
+        }
+        return p
+
+    def ln():
+        return {"scale": vec(d, 1.0), "bias": vec(d)}
+
+    def mlp():
+        return {"fc1_w": lin(d, ff), "fc1_b": vec(ff),
+                "fc2_w": lin(ff, d), "fc2_b": vec(d)}
+
+    def stack(n, make):
+        trees = [make() for _ in range(n)]
+        return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)).astype(dtype), *trees)
+
+    enc_layer = lambda: {"attn": attn_params(), "ln1": ln(), "ln2": ln(), "mlp": mlp()}
+    dec_layer = lambda: {
+        "self": attn_params(), "cross": attn_params(),
+        "ln1": ln(), "ln_cross": ln(), "ln2": ln(), "mlp": mlp(),
+    }
+
+    params = {
+        "encoder": {
+            "conv1": {"w": jnp.asarray(rng.standard_normal((d, arch.n_mels, 3)) * 0.02, dtype),
+                      "b": jnp.zeros((d,), dtype)},
+            "conv2": {"w": jnp.asarray(rng.standard_normal((d, d, 3)) * 0.02, dtype),
+                      "b": jnp.zeros((d,), dtype)},
+            "pos_emb": jnp.asarray(_sinusoids(arch.max_source_positions, d), dtype),
+            "layers": stack(arch.encoder_layers, enc_layer),
+            "ln_post": jax.tree.map(lambda x: jnp.asarray(x, dtype), ln()),
+        },
+        "decoder": {
+            "token_emb": jnp.asarray(rng.standard_normal((arch.vocab_size, d)) * 0.02, dtype),
+            "pos_emb": jnp.asarray(rng.standard_normal((arch.max_target_positions, d)) * 0.02, dtype),
+            "layers": stack(arch.decoder_layers, dec_layer),
+            "ln_post": jax.tree.map(lambda x: jnp.asarray(x, dtype), ln()),
+        },
+    }
+    return params
