@@ -1,0 +1,86 @@
+"""Offline ASRPipeline end-to-end on a tiny random engine."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from thewhisper_tpu.config import ARCH_PRESETS, SpecialTokens
+from thewhisper_tpu.engine import WhisperEngine
+from thewhisper_tpu.models.whisper import init_params
+from thewhisper_tpu.pipeline import ASRPipeline
+
+
+class MapTokenizer:
+    def __init__(self, vocab=200):
+        self.words = {i: f" w{i}" for i in range(vocab)}
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(self.words.get(int(i), "") for i in ids if int(i) < 90)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    arch = dataclasses.replace(
+        ARCH_PRESETS["tiny"],
+        d_model=64, encoder_layers=2, encoder_heads=4, decoder_layers=2,
+        decoder_heads=4, d_ff=128, vocab_size=200, n_mels=80,
+        max_source_positions=150, max_target_positions=64,
+        alignment_heads=((1, 0), (1, 2)),
+    )
+    params = init_params(arch, seed=3)
+    sp = SpecialTokens(
+        eot=101, sot=102, first_language=110, n_languages=5,
+        translate=120, transcribe=121, no_speech=122, no_timestamps=123,
+        timestamp_begin=124,
+    )
+    eng = WhisperEngine(params, arch, special=sp, batch_buckets=(1, 2, 4))
+    # Model chunk = 3 s (300 mel frames -> 150 encoder positions).
+    return ASRPipeline(eng, tokenizer=MapTokenizer(), chunk_length_s=3)
+
+
+def _audio(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    return (0.1 * rng.standard_normal(int(seconds * 16000))).astype(np.float32)
+
+
+def test_single_window_output_schema(tiny_pipeline):
+    out = tiny_pipeline(
+        _audio(2.0), return_timestamps="word",
+        generate_kwargs={"max_new_tokens": 8, "language": "en"},
+    )
+    assert set(out) == {"text", "chunks"}
+    for ch in out["chunks"]:
+        assert set(ch) == {"text", "timestamp"}
+        s, e = ch["timestamp"]
+        assert s is not None and s >= 0.0
+        if e is not None:
+            assert e >= s
+    # Last word may have an open end (None) like the reference backends expect.
+
+
+def test_long_audio_multi_window(tiny_pipeline):
+    out = tiny_pipeline(
+        _audio(7.0, seed=1), return_timestamps="word",
+        generate_kwargs={"max_new_tokens": 8, "language": "en"},
+        chunk_length_s=2.0,
+    )
+    assert isinstance(out["text"], str)
+    starts = [c["timestamp"][0] for c in out["chunks"]]
+    assert all(s is not None for s in starts)
+
+
+def test_no_timestamps_mode(tiny_pipeline):
+    out = tiny_pipeline(
+        _audio(2.0, seed=2), return_timestamps=False,
+        generate_kwargs={"max_new_tokens": 6},
+    )
+    assert "text" in out and "chunks" not in out
+
+
+def test_determinism(tiny_pipeline):
+    a = _audio(2.5, seed=4)
+    kw = {"max_new_tokens": 8, "language": "en"}
+    o1 = tiny_pipeline(a, return_timestamps="word", generate_kwargs=dict(kw))
+    o2 = tiny_pipeline(a, return_timestamps="word", generate_kwargs=dict(kw))
+    assert o1 == o2

@@ -1,0 +1,215 @@
+"""Offline ASR pipeline: long-form chunking, batched TPU decode, word merge.
+
+API parity with the reference's ``ASRPipeline``
+(``apple/asr_pipeline.py:16-64`` / ``nvidia/asr_pipeline.py:30-92``):
+``pipeline(audio, return_timestamps="word", generate_kwargs=..., chunk_length_s=...)``
+returns ``{"text": str, "chunks": [{"text", "timestamp": (start, end)}]}``.
+
+Long-form behavior mirrors the HF chunked pipeline the reference rides
+(SURVEY.md section 5 "Offline long-form"): windows of the call-time
+``chunk_length_s`` (the examples pass ``model_chunk - 1``) with 1/6-stride
+overlap on each side, merged by the timestamp-aware LCS
+(``text.find_longest_common_sequence``).
+
+TPU mapping: every window is padded to the engine's model chunk length
+(10/15/20/30 s bucket) so all windows of a file hit one compiled executable;
+windows are batched together into one device call.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from thewhisper_tpu.align import token_timestamps_from_alignment
+from thewhisper_tpu.audio.features import LogMelFeaturizer
+from thewhisper_tpu.audio.io import load_audio
+from thewhisper_tpu.config import GenerationOptions, SAMPLE_RATE
+from thewhisper_tpu.engine import WhisperEngine
+from thewhisper_tpu.text import combine_tokens_into_words, find_longest_common_sequence
+
+
+class ASRPipeline:
+    """Offline transcription on the TPU engine.
+
+    ``model`` is an HF checkpoint directory path or a ready
+    :class:`WhisperEngine`. ``tokenizer`` is anything with
+    ``decode(ids, skip_special_tokens=True) -> str`` (an HF WhisperTokenizer
+    works as-is).
+    """
+
+    def __init__(
+        self,
+        model: Union[str, WhisperEngine],
+        tokenizer: Any = None,
+        model_size: Optional[str] = None,   # accepted for API parity ("S"/"XL")
+        chunk_length_s: int = 30,
+        language: str = "en",
+        compute_dtype=None,
+        position_mode: Optional[str] = None,
+        batch_size: int = 8,
+        use_pallas: Optional[bool] = None,
+        device: Optional[str] = None,       # accepted for API parity; TPU-only
+    ):
+        import jax.numpy as jnp
+
+        if isinstance(model, WhisperEngine):
+            self.engine = model
+        else:
+            dtype = compute_dtype or (jnp.bfloat16 if model_size != "XL32" else jnp.float32)
+            self.engine = WhisperEngine.from_checkpoint(
+                model, chunk_length_s=chunk_length_s, compute_dtype=dtype,
+                position_mode=position_mode)
+            if tokenizer is None:
+                tokenizer = _try_load_hf_tokenizer(model)
+        self.tokenizer = tokenizer
+        self.model_chunk_length_s = float(chunk_length_s)
+        self.language = language
+        self.batch_size = batch_size
+        self.featurizer = LogMelFeaturizer(
+            n_mels=self.engine.arch.n_mels,
+            chunk_length_s=self.model_chunk_length_s,
+            use_pallas=use_pallas,
+        )
+
+    # -- token decode helper -------------------------------------------------
+
+    def _decode(self, ids: Sequence[int]) -> str:
+        if self.tokenizer is None:
+            # Debug fallback: space-joined ids.
+            return "".join(f" <{i}>" for i in ids)
+        return self.tokenizer.decode(list(ids), skip_special_tokens=True)
+
+    # -- windowing -----------------------------------------------------------
+
+    @staticmethod
+    def _window_offsets(n_samples: int, win: int, step: int) -> List[int]:
+        if n_samples <= win:
+            return [0]
+        offsets = list(range(0, n_samples - win + step, step))
+        # Drop a trailing window that would contain no new audio.
+        return [o for o in offsets if o < n_samples]
+
+    # -- main entry ----------------------------------------------------------
+
+    def __call__(
+        self,
+        audio: Union[str, np.ndarray],
+        return_timestamps: Union[bool, str] = False,
+        generate_kwargs: Optional[Dict[str, Any]] = None,
+        chunk_length_s: Optional[float] = None,
+        batch_size: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        if isinstance(audio, str):
+            audio = load_audio(audio, sr=SAMPLE_RATE)
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+
+        gk = dict(generate_kwargs or {})
+        language = gk.pop("language", None) or self.language
+        max_new_tokens = int(gk.pop("max_new_tokens", 224))
+        task = gk.pop("task", "transcribe")
+        want_words = return_timestamps == "word"
+
+        win_s = float(chunk_length_s or self.model_chunk_length_s)
+        win_s = min(win_s, self.model_chunk_length_s)
+        win = int(win_s * SAMPLE_RATE)
+        stride = int(win_s / 6 * SAMPLE_RATE)
+        step = max(1, win - 2 * stride)
+
+        offsets = self._window_offsets(len(audio), win, step)
+        windows = [audio[o: o + win] for o in offsets]
+        bsz = batch_size or self.batch_size
+
+        opts = GenerationOptions(
+            max_new_tokens=max_new_tokens, language=language, task=task,
+            return_timestamps=want_words,
+        )
+
+        seqs: List[List[int]] = []
+        ts_seqs: List[List[Tuple[Optional[float], Optional[float]]]] = []
+        for start in range(0, len(windows), bsz):
+            batch = windows[start: start + bsz]
+            mel = np.asarray(self.featurizer(_pad_stack(batch, win)))
+            res = self.engine.transcribe_features(mel, opts)
+            p = res.prompt_len
+            if want_words:
+                # Rows populated per sample: prompt + generated - 1.
+                num_rows = p + np.maximum(res.num_generated, 1) - 1
+                token_ts = token_timestamps_from_alignment(
+                    res.align, num_rows,
+                    num_frames=np.asarray([len(w) // 160 for w in batch]),
+                    median_filter_width=self.engine.arch.median_filter_width,
+                )
+            for bi in range(len(batch)):
+                n = int(res.num_generated[bi])
+                ids = res.tokens[bi, p: p + n].tolist()
+                # Strip the trailing EOT if present in the count.
+                ids = [t for t in ids if t < self.engine.special.eot]
+                seqs.append(ids)
+                if want_words:
+                    offset_s = offsets[start + bi] / SAMPLE_RATE
+                    ts: List[Tuple[Optional[float], Optional[float]]] = []
+                    for k in range(len(ids)):
+                        t0 = float(token_ts[bi, p + k]) + offset_s
+                        if p + k + 1 < p + n:
+                            t1 = float(token_ts[bi, p + k + 1]) + offset_s
+                        else:
+                            t1 = None
+                        ts.append((t0, t1))
+                    ts_seqs.append(ts)
+
+        if len(seqs) == 1:
+            tokens, token_ts_list = seqs[0], (ts_seqs[0] if want_words else None)
+        elif want_words:
+            tokens, token_ts_list = find_longest_common_sequence(seqs, ts_seqs)
+        else:
+            tokens = find_longest_common_sequence(seqs)
+            token_ts_list = None
+
+        text = self._decode(tokens)
+        out: Dict[str, Any] = {"text": text}
+        if want_words:
+            words, _, indices = combine_tokens_into_words(
+                self._decode, tokens, language=_full_language_name(language),
+                special_id=self.engine.special.eot,
+            )
+            chunks = []
+            for w, idx in zip(words, indices):
+                start_t = token_ts_list[idx[0]][0]
+                end_t = token_ts_list[idx[-1]][1]
+                chunks.append({"text": w, "timestamp": (start_t, end_t)})
+            out["chunks"] = chunks
+        return out
+
+
+def _pad_stack(windows: Sequence[np.ndarray], win: int) -> np.ndarray:
+    out = np.zeros((len(windows), win), dtype=np.float32)
+    for i, w in enumerate(windows):
+        out[i, : len(w)] = w
+    return out
+
+
+_LANG_NAMES = {
+    "zh": "chinese", "ja": "japanese", "th": "thai", "lo": "lao",
+    "my": "myanmar", "yue": "cantonese",
+}
+
+
+def _full_language_name(code: str) -> str:
+    return _LANG_NAMES.get(code, code)
+
+
+def _try_load_hf_tokenizer(path: str):
+    try:
+        from transformers import WhisperTokenizer, WhisperTokenizerFast
+        import os
+
+        if os.path.exists(os.path.join(path, "tokenizer.json")):
+            return WhisperTokenizerFast.from_pretrained(path)
+        if os.path.exists(os.path.join(path, "vocab.json")):
+            return WhisperTokenizer.from_pretrained(path)
+    except Exception:
+        pass
+    return None
