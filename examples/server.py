@@ -1,0 +1,60 @@
+"""REST streaming server (parity: reference examples/server.py).
+
+Environment (same variables as the reference):
+    ASR_STREAMING_HOST (default 127.0.0.1), ASR_STREAMING_PORT (default 8800)
+    CHUNK_SECONDS (default 10)
+    ASR_BACKEND_TYPE: "tpu" (local, default) or "whisper" (remote Triton)
+    TRITON_URL / TRITON_AUTH_TOKEN / TRITON_MODEL_NAME / TRITON_LANG_ID
+    ASR_MODEL: HF checkpoint directory for the local backend
+
+Unlike the reference (one shared pipeline for all sessions,
+``server.py:26-28``), every session has its own state machine; decode
+requests from all sessions are batched into single TPU calls.
+"""
+
+import os
+import sys
+
+# Allow running from a source checkout without installation.
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
+
+
+def main():
+    from thewhisper_tpu.config import ServerConfig
+    from thewhisper_tpu.server import SessionManager, StreamingServer
+
+    config = ServerConfig.from_env()
+    backend_type = os.getenv("ASR_BACKEND_TYPE", "tpu").lower()
+
+    if backend_type == "whisper":
+        from thewhisper_tpu.streaming.pipeline import RemoteAPITimestampsBackend
+
+        def backend_factory():
+            return RemoteAPITimestampsBackend.from_env()
+
+        print("Streaming backend: remote Whisper/Triton API")
+    else:
+        from thewhisper_tpu.pipeline import ASRPipeline
+        from thewhisper_tpu.streaming.batching import BatchedTranscriber
+
+        model = os.getenv("ASR_MODEL")
+        if not model:
+            raise SystemExit("set ASR_MODEL to an HF checkpoint directory")
+        asr = ASRPipeline(model, chunk_length_s=config.chunk_length_s)
+        transcriber = BatchedTranscriber(asr)
+
+        def backend_factory():
+            return transcriber.backend()
+
+        print("Streaming backend: local TPU engine (batched)")
+
+    manager = SessionManager(backend_factory, chunk_length_s=config.chunk_length_s)
+    server = StreamingServer(manager, config)
+    print(f"Server started on {config.host}:{server.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

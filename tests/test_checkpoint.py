@@ -1,0 +1,93 @@
+"""End-to-end checkpoint loading: safetensors -> engine -> pipeline w/ real tokenizer."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tools")
+
+
+@pytest.fixture(scope="session")
+def tiny_ckpt(tmp_path_factory):
+    from make_tiny_checkpoint import make_checkpoint
+
+    path = tmp_path_factory.mktemp("ckpt") / "tiny"
+    return make_checkpoint(str(path), seed=0)
+
+
+def test_from_checkpoint_loads(tiny_ckpt):
+    import jax.numpy as jnp
+
+    from thewhisper_tpu.engine import WhisperEngine
+
+    eng = WhisperEngine.from_checkpoint(
+        tiny_ckpt, chunk_length_s=30, compute_dtype=jnp.float32)
+    assert eng.arch.vocab_size == 51866
+    assert eng.arch.n_mels == 128
+    assert eng.arch.alignment_heads == ((1, 0), (1, 2))
+    assert eng.special.eot == 50257
+    assert eng.build_prompt("en") == [50258, 50259, 50360, 50364]
+    assert eng._begin_suppress is not None  # from generation_config
+
+
+def test_flexible_chunk_position_modes(tiny_ckpt):
+    import jax.numpy as jnp
+
+    from thewhisper_tpu.models.load import load_checkpoint
+
+    p_trunc, arch = load_checkpoint(
+        tiny_ckpt, chunk_length_s=10, position_mode="truncate",
+        dtype=jnp.float32)
+    assert p_trunc["encoder"]["pos_emb"].shape[0] == 500
+    p_interp, _ = load_checkpoint(
+        tiny_ckpt, chunk_length_s=10, position_mode="interpolate",
+        dtype=jnp.float32)
+    assert p_interp["encoder"]["pos_emb"].shape[0] == 500
+    # Truncation keeps original rows; interpolation changes them.
+    full, _ = load_checkpoint(tiny_ckpt, chunk_length_s=30, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(p_trunc["encoder"]["pos_emb"]),
+        np.asarray(full["encoder"]["pos_emb"][:500]))
+    assert not np.allclose(
+        np.asarray(p_interp["encoder"]["pos_emb"]),
+        np.asarray(full["encoder"]["pos_emb"][:500]))
+
+
+def test_pipeline_with_real_checkpoint_and_tokenizer(tiny_ckpt):
+    import jax.numpy as jnp
+
+    from thewhisper_tpu.pipeline import ASRPipeline
+
+    pipe = ASRPipeline(tiny_ckpt, chunk_length_s=10, compute_dtype=jnp.float32)
+    assert pipe.tokenizer is not None
+    audio = (0.1 * np.random.default_rng(0).standard_normal(32000)).astype(np.float32)
+    out = pipe(audio, return_timestamps="word",
+               generate_kwargs={"max_new_tokens": 8, "language": "en"})
+    assert isinstance(out["text"], str)
+    for ch in out["chunks"]:
+        assert isinstance(ch["text"], str)
+        assert len(ch["timestamp"]) == 2
+
+
+def test_parity_with_hf_on_checkpoint(tiny_ckpt):
+    """Teacher-forced logits of the loaded checkpoint match HF torch."""
+    import torch
+    import jax.numpy as jnp
+    from transformers import WhisperForConditionalGeneration
+
+    from thewhisper_tpu.models.load import load_checkpoint
+    from thewhisper_tpu.models.whisper import decoder_train_forward, encoder_forward
+
+    model = WhisperForConditionalGeneration.from_pretrained(tiny_ckpt).eval()
+    params, arch = load_checkpoint(tiny_ckpt, chunk_length_s=30, dtype=jnp.float32)
+
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((1, 128, 3000)).astype(np.float32)
+    tokens = np.array([[50258, 50259, 50360, 50364]], dtype=np.int64)
+    with torch.no_grad():
+        ref = model(input_features=torch.from_numpy(mel),
+                    decoder_input_ids=torch.from_numpy(tokens)).logits.numpy()
+    enc = encoder_forward(params, jnp.asarray(mel), arch)
+    ours = np.asarray(decoder_train_forward(params, jnp.asarray(tokens), enc, arch))
+    np.testing.assert_allclose(ours, ref, atol=2e-3)

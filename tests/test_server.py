@@ -1,0 +1,133 @@
+"""REST server tests: full HTTP round trip with a fake backend."""
+
+import base64
+import threading
+
+import numpy as np
+import pytest
+
+from thewhisper_tpu.config import ServerConfig
+from thewhisper_tpu.server import SessionManager, StreamingServer
+from thewhisper_tpu.streaming import TranscriptionBackend
+
+
+class FakeBackend(TranscriptionBackend):
+    def transcribe(self, audio, buffer_start_time, sample_rate):
+        n = int(len(audio) / sample_rate / 0.5)
+        return [
+            {"text": f" w{i}", "start": buffer_start_time + 0.5 * i,
+             "end": buffer_start_time + 0.5 * (i + 1)}
+            for i in range(n)
+        ]
+
+
+@pytest.fixture()
+def server():
+    manager = SessionManager(lambda: FakeBackend(), chunk_length_s=4,
+                             use_vad=False)
+    srv = StreamingServer(
+        manager, ServerConfig(host="127.0.0.1", port=0))
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _b64(audio: np.ndarray) -> str:
+    return base64.b64encode(audio.astype(np.float32).tobytes()).decode()
+
+
+def test_session_lifecycle_and_streaming(server):
+    import httpx
+
+    base = f"http://127.0.0.1:{server.port}"
+    sid = httpx.post(f"{base}/session/create/").json()["session_id"]
+    assert sid
+
+    rng = np.random.default_rng(0)
+    # Push 3.2 s of audio in 0.1 s chunks; poll /process like the Electron app.
+    got_words = False
+    for i in range(32):
+        chunk = (0.1 * rng.standard_normal(1600)).astype(np.float32)
+        r = httpx.post(
+            f"{base}/session/{sid}/add_chunk", params={"audio_data": _b64(chunk)})
+        assert r.status_code == 200, r.text
+        r = httpx.post(f"{base}/session/{sid}/process")
+        assert r.status_code == 200
+        payload = r.json()
+        assert set(payload) == {"words", "uncommited_words"}
+        if payload["words"] or payload["uncommited_words"]:
+            got_words = True
+    assert got_words
+
+    assert httpx.post(f"{base}/session/{sid}/clear").status_code == 200
+    assert httpx.post(f"{base}/session/{sid}/end").status_code == 200
+    # After end, the session is gone.
+    assert httpx.post(f"{base}/session/{sid}/process").status_code == 404
+
+
+def test_sessions_are_isolated(server):
+    import httpx
+
+    base = f"http://127.0.0.1:{server.port}"
+    sid1 = httpx.post(f"{base}/session/create/").json()["session_id"]
+    sid2 = httpx.post(f"{base}/session/create/").json()["session_id"]
+    assert sid1 != sid2
+
+    rng = np.random.default_rng(1)
+    # Feed only session 1.
+    for _ in range(30):
+        chunk = (0.1 * rng.standard_normal(1600)).astype(np.float32)
+        httpx.post(f"{base}/session/{sid1}/add_chunk",
+                   params={"audio_data": _b64(chunk)})
+        httpx.post(f"{base}/session/{sid1}/process")
+    # Session 2 has seen no audio: no words.
+    r = httpx.post(f"{base}/session/{sid2}/process").json()
+    assert r["words"] == [] and r["uncommited_words"] == []
+
+
+def test_bad_requests(server):
+    import httpx
+
+    base = f"http://127.0.0.1:{server.port}"
+    assert httpx.post(f"{base}/session/nope/process").status_code == 404
+    sid = httpx.post(f"{base}/session/create/").json()["session_id"]
+    r = httpx.post(f"{base}/session/{sid}/add_chunk")  # missing audio_data
+    assert r.status_code == 500
+    assert "audio_data" in r.json()["detail"]
+    assert httpx.get(f"{base}/health").status_code == 200
+
+
+def test_batched_transcriber_coalesces():
+    from thewhisper_tpu.streaming.batching import BatchedTranscriber
+
+    calls = []
+
+    class FakePipe:
+        def transcribe_batch(self, audios, **kw):
+            calls.append(len(audios))
+            return [
+                {"text": " ok", "chunks": [
+                    {"text": " ok", "timestamp": (0.0, None)}]}
+                for _ in audios
+            ]
+
+    bt = BatchedTranscriber(FakePipe(), max_batch=8, max_wait_ms=50)
+    backends = [bt.backend() for _ in range(4)]
+    results = []
+    threads = [
+        threading.Thread(
+            target=lambda b=b: results.append(
+                b.transcribe(np.zeros(16000, np.float32), 10.0, 16000)))
+        for b in backends
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    bt.close()
+    assert len(results) == 4
+    # The 4 concurrent requests rode <= 2 engine calls (usually 1).
+    assert sum(calls) == 4 and len(calls) <= 2
+    # Open word end clamped using MAX_WORD_DURATION against 1 s audio.
+    w = results[0][0]
+    assert w["start"] == 10.0 and w["end"] == 11.0

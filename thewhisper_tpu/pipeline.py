@@ -126,16 +126,64 @@ class ASRPipeline:
             max_new_tokens=max_new_tokens, language=language, task=task,
             return_timestamps=want_words,
         )
+        seqs, ts_seqs = self._decode_windows(windows, offsets, opts, bsz, want_words)
 
+        if len(seqs) == 1:
+            tokens, token_ts_list = seqs[0], (ts_seqs[0] if want_words else None)
+        elif want_words:
+            tokens, token_ts_list = find_longest_common_sequence(seqs, ts_seqs)
+        else:
+            tokens = find_longest_common_sequence(seqs)
+            token_ts_list = None
+
+        return self._format_output(tokens, token_ts_list, language, want_words)
+
+    def transcribe_batch(
+        self,
+        audios: Sequence[np.ndarray],
+        return_timestamps: Union[bool, str] = "word",
+        generate_kwargs: Optional[Dict[str, Any]] = None,
+    ) -> List[Dict[str, Any]]:
+        """Transcribe N independent short buffers in ONE engine call.
+
+        The multi-stream server path (SURVEY section 7, stage 7): each audio
+        must fit a single window (it is truncated to the model chunk length
+        otherwise). Returns one ``{"text", "chunks"}`` dict per input.
+        """
+        gk = dict(generate_kwargs or {})
+        language = gk.pop("language", None) or self.language
+        max_new_tokens = int(gk.pop("max_new_tokens", 128))
+        task = gk.pop("task", "transcribe")
+        want_words = return_timestamps == "word"
+        win = int(self.model_chunk_length_s * SAMPLE_RATE)
+        windows = [np.asarray(a, np.float32).reshape(-1)[:win] for a in audios]
+        opts = GenerationOptions(
+            max_new_tokens=max_new_tokens, language=language, task=task,
+            return_timestamps=want_words,
+        )
+        seqs, ts_seqs = self._decode_windows(
+            windows, [0] * len(windows), opts, len(windows), want_words)
+        return [
+            self._format_output(
+                seqs[i], ts_seqs[i] if want_words else None, language, want_words)
+            for i in range(len(windows))
+        ]
+
+    # -- shared internals ----------------------------------------------------
+
+    def _decode_windows(self, windows, offsets, opts, bsz, want_words):
+        """Run windows through the engine -> per-window (ids, (start,end))."""
         seqs: List[List[int]] = []
         ts_seqs: List[List[Tuple[Optional[float], Optional[float]]]] = []
+        win = max((len(w) for w in windows), default=0)
+        win = max(win, 1)
         for start in range(0, len(windows), bsz):
             batch = windows[start: start + bsz]
             mel = np.asarray(self.featurizer(_pad_stack(batch, win)))
             res = self.engine.transcribe_features(mel, opts)
             p = res.prompt_len
             if want_words:
-                # Rows populated per sample: prompt + generated - 1.
+                # Alignment rows populated per sample: prompt + generated - 1.
                 num_rows = p + np.maximum(res.num_generated, 1) - 1
                 token_ts = token_timestamps_from_alignment(
                     res.align, num_rows,
@@ -145,7 +193,6 @@ class ASRPipeline:
             for bi in range(len(batch)):
                 n = int(res.num_generated[bi])
                 ids = res.tokens[bi, p: p + n].tolist()
-                # Strip the trailing EOT if present in the count.
                 ids = [t for t in ids if t < self.engine.special.eot]
                 seqs.append(ids)
                 if want_words:
@@ -159,17 +206,10 @@ class ASRPipeline:
                             t1 = None
                         ts.append((t0, t1))
                     ts_seqs.append(ts)
+        return seqs, ts_seqs
 
-        if len(seqs) == 1:
-            tokens, token_ts_list = seqs[0], (ts_seqs[0] if want_words else None)
-        elif want_words:
-            tokens, token_ts_list = find_longest_common_sequence(seqs, ts_seqs)
-        else:
-            tokens = find_longest_common_sequence(seqs)
-            token_ts_list = None
-
-        text = self._decode(tokens)
-        out: Dict[str, Any] = {"text": text}
+    def _format_output(self, tokens, token_ts_list, language, want_words):
+        out: Dict[str, Any] = {"text": self._decode(tokens)}
         if want_words:
             words, _, indices = combine_tokens_into_words(
                 self._decode, tokens, language=_full_language_name(language),

@@ -1,0 +1,220 @@
+"""REST streaming server on the Python stdlib HTTP stack.
+
+Route and payload parity with the reference FastAPI server
+(``examples/server.py:118-163``) so the Electron client works unchanged:
+
+- ``POST /session/create/``                      -> ``{"session_id": ...}``
+- ``POST /session/{id}/add_chunk?audio_data=b64`` (base64 float32 little-endian)
+- ``POST /session/{id}/process``                 -> ``{"words", "uncommited_words"}``
+- ``POST /session/{id}/clear``
+- ``POST /session/{id}/end``
+
+Improvements over the reference (SURVEY section 7, stage 7): each session
+owns its own ``StreamingPipeline`` state machine (the reference shares one
+pipeline across sessions, interleaving audio), and all sessions' decode
+requests are coalesced by ``BatchedTranscriber`` into batched TPU calls.
+CORS ``*`` and the ``/tmp/asr_streaming_server.pid`` pidfile are preserved.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import secrets
+import signal
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from thewhisper_tpu.config import ServerConfig
+from thewhisper_tpu.streaming.pipeline import StreamingPipeline, TranscriptionBackend
+
+
+class SessionManager:
+    """Per-session streaming pipelines over a shared backend factory."""
+
+    def __init__(self, backend_factory: Callable[[], TranscriptionBackend],
+                 chunk_length_s: int = 10, use_vad: bool = True,
+                 min_process_chunk_s: float = 0.5):
+        self.backend_factory = backend_factory
+        self.chunk_length_s = chunk_length_s
+        self.use_vad = use_vad
+        self.min_process_chunk_s = min_process_chunk_s
+        self._sessions: Dict[str, StreamingPipeline] = {}
+        self._locks: Dict[str, threading.Lock] = {}
+        self._global = threading.Lock()
+
+    def create(self) -> str:
+        session_id = secrets.token_urlsafe(16)
+        pipe = StreamingPipeline(
+            backend=self.backend_factory(),
+            chunk_length_s=self.chunk_length_s,
+            min_process_chunk_s=self.min_process_chunk_s,
+            use_vad=self.use_vad,
+        )
+        with self._global:
+            self._sessions[session_id] = pipe
+            self._locks[session_id] = threading.Lock()
+        return session_id
+
+    def _get(self, session_id: str) -> Tuple[StreamingPipeline, threading.Lock]:
+        with self._global:
+            pipe = self._sessions.get(session_id)
+            lock = self._locks.get(session_id)
+        if pipe is None:
+            raise KeyError(session_id)
+        return pipe, lock
+
+    def add_chunk(self, session_id: str, audio: np.ndarray) -> None:
+        pipe, lock = self._get(session_id)
+        with lock:
+            pipe.add_new_chunk(audio)
+
+    def process(self, session_id: str):
+        pipe, lock = self._get(session_id)
+        with lock:
+            return pipe.process_new_chunk()
+
+    def clear(self, session_id: str) -> None:
+        pipe, lock = self._get(session_id)
+        with lock:
+            pipe.clear()
+
+    def end(self, session_id: str) -> None:
+        with self._global:
+            self._sessions.pop(session_id, None)
+            self._locks.pop(session_id, None)
+
+    def cleanup(self) -> None:
+        with self._global:
+            self._sessions.clear()
+            self._locks.clear()
+
+    @property
+    def n_sessions(self) -> int:
+        with self._global:
+            return len(self._sessions)
+
+
+def _make_handler(manager: SessionManager):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+        def _send(self, code: int, payload: Dict[str, Any]) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "*")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_OPTIONS(self):  # CORS preflight
+            self._send(200, {})
+
+        def do_GET(self):
+            if urlparse(self.path).path in ("/health", "/health/"):
+                self._send(200, {"status": "ok", "sessions": manager.n_sessions})
+            else:
+                self._send(404, {"detail": "not found"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            parts = [p for p in parsed.path.split("/") if p]
+            try:
+                if parts == ["session", "create"]:
+                    self._send(200, {"session_id": manager.create()})
+                    return
+                if len(parts) == 3 and parts[0] == "session":
+                    sid, action = parts[1], parts[2]
+                    if action == "add_chunk":
+                        audio = self._read_audio(parsed)
+                        manager.add_chunk(sid, audio)
+                        self._send(200, {"status": "success"})
+                    elif action == "process":
+                        words, uncommited = manager.process(sid)
+                        self._send(200, {
+                            "words": words, "uncommited_words": uncommited})
+                    elif action == "clear":
+                        manager.clear(sid)
+                        self._send(200, {"status": "success"})
+                    elif action == "end":
+                        manager.end(sid)
+                        self._send(200, {"status": "success"})
+                    else:
+                        self._send(404, {"detail": "unknown action"})
+                    return
+                self._send(404, {"detail": "not found"})
+            except KeyError as e:
+                self._send(404, {"detail": f"Session {e.args[0]} not found"})
+            except Exception as e:  # parity: reference returns 500 + detail
+                self._send(500, {"detail": str(e)})
+
+        def _read_audio(self, parsed) -> np.ndarray:
+            # Reference passes base64 float32 as the ``audio_data`` query
+            # param (server.py:135-144); JSON body is accepted as well.
+            qs = parse_qs(parsed.query)
+            b64: Optional[str] = None
+            if "audio_data" in qs:
+                b64 = qs["audio_data"][0]
+            else:
+                length = int(self.headers.get("Content-Length", 0) or 0)
+                if length:
+                    try:
+                        payload = json.loads(self.rfile.read(length))
+                        b64 = payload.get("audio_data")
+                    except Exception:
+                        b64 = None
+            if not b64:
+                raise ValueError("audio_data missing")
+            return np.frombuffer(base64.b64decode(b64), dtype=np.float32)
+
+    return Handler
+
+
+class StreamingServer:
+    """Threaded HTTP server wrapper with pidfile + signal cleanup."""
+
+    def __init__(self, manager: SessionManager,
+                 config: Optional[ServerConfig] = None):
+        self.manager = manager
+        self.config = config or ServerConfig.from_env()
+        self.httpd = ThreadingHTTPServer(
+            (self.config.host, self.config.port), _make_handler(manager))
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def serve_forever(self) -> None:
+        with open(self.config.pidfile, "w") as f:
+            f.write(str(os.getpid()))
+
+        def _shutdown(sig, frame):
+            self.manager.cleanup()
+            if os.path.exists(self.config.pidfile):
+                os.remove(self.config.pidfile)
+            raise SystemExit(0)
+
+        signal.signal(signal.SIGINT, _shutdown)
+        signal.signal(signal.SIGTERM, _shutdown)
+        self.httpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.manager.cleanup()
