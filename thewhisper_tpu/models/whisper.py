@@ -425,7 +425,7 @@ def init_params(
     d, ff = arch.d_model, arch.d_ff
 
     def lin(i, o):
-        return (rng.standard_normal((i, o)) * (0.02)).astype(np.float32)
+        return rng.standard_normal((i, o), dtype=np.float32) * np.float32(0.02)
 
     def vec(n, val=0.0):
         return np.full((n,), val, dtype=np.float32)
@@ -446,7 +446,10 @@ def init_params(
 
     def stack(n, make):
         trees = [make() for _ in range(n)]
-        return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)).astype(dtype), *trees)
+        # Cast on HOST before transfer: halves bytes over the wire for bf16 and
+        # avoids a device-side cast pass (matters on tunneled TPUs).
+        return jax.tree.map(
+            lambda *xs: jnp.asarray(np.stack(xs).astype(dtype)), *trees)
 
     enc_layer = lambda: {"attn": attn_params(), "ln1": ln(), "ln2": ln(), "mlp": mlp()}
     dec_layer = lambda: {
@@ -456,17 +459,17 @@ def init_params(
 
     params = {
         "encoder": {
-            "conv1": {"w": jnp.asarray(rng.standard_normal((d, arch.n_mels, 3)) * 0.02, dtype),
+            "conv1": {"w": jnp.asarray(rng.standard_normal((d, arch.n_mels, 3), dtype=np.float32) * np.float32(0.02), dtype),
                       "b": jnp.zeros((d,), dtype)},
-            "conv2": {"w": jnp.asarray(rng.standard_normal((d, d, 3)) * 0.02, dtype),
+            "conv2": {"w": jnp.asarray(rng.standard_normal((d, d, 3), dtype=np.float32) * np.float32(0.02), dtype),
                       "b": jnp.zeros((d,), dtype)},
             "pos_emb": jnp.asarray(_sinusoids(arch.max_source_positions, d), dtype),
             "layers": stack(arch.encoder_layers, enc_layer),
             "ln_post": jax.tree.map(lambda x: jnp.asarray(x, dtype), ln()),
         },
         "decoder": {
-            "token_emb": jnp.asarray(rng.standard_normal((arch.vocab_size, d)) * 0.02, dtype),
-            "pos_emb": jnp.asarray(rng.standard_normal((arch.max_target_positions, d)) * 0.02, dtype),
+            "token_emb": jnp.asarray(rng.standard_normal((arch.vocab_size, d), dtype=np.float32) * np.float32(0.02), dtype),
+            "pos_emb": jnp.asarray(rng.standard_normal((arch.max_target_positions, d), dtype=np.float32) * np.float32(0.02), dtype),
             "layers": stack(arch.decoder_layers, dec_layer),
             "ln_post": jax.tree.map(lambda x: jnp.asarray(x, dtype), ln()),
         },
