@@ -1,0 +1,128 @@
+"""WER / normalizer / eval-harness tests."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "benchmark")
+
+from thewhisper_tpu.utils.normalizers import BasicTextNormalizer, EnglishTextNormalizer
+from thewhisper_tpu.utils.wer import align_words, cer, edit_stats, wer
+
+
+def test_edit_stats():
+    st = edit_stats("a b c d".split(), "a x c".split())
+    assert st["subs"] == 1 and st["dels"] == 1 and st["ins"] == 0
+    assert st["hits"] == 2 and st["errors"] == 2
+
+    st = edit_stats([], "a b".split())
+    assert st["ins"] == 2 and st["ref_len"] == 0
+
+
+def test_wer_corpus():
+    refs = ["the cat sat", "hello world"]
+    hyps = ["the cat sat", "hello there world"]
+    # 1 insertion over 5 reference words
+    assert abs(wer(refs, hyps) - 1 / 5) < 1e-9
+    assert wer(refs, refs) == 0.0
+    assert cer(["abc"], ["abd"]) == pytest.approx(1 / 3)
+
+
+def test_align_words():
+    ops = align_words("a b c".split(), "a x c d".split())
+    kinds = [o[0] for o in ops]
+    assert kinds == ["equal", "sub", "equal", "ins"]
+
+
+def test_basic_normalizer():
+    n = BasicTextNormalizer()
+    assert n("Hello, World!") == "hello world"
+    assert n("this [NOISE] is (um) fine") == "this is fine"
+    assert n("  a   b  ") == "a b"
+
+
+def test_english_normalizer():
+    n = EnglishTextNormalizer()
+    assert n("I won't do it.") == "i will not do it"
+    assert n("It's Mr. Smith's colour TV") == "its mr smiths color tv"
+    assert n("twenty two dogs") == "22 dogs"
+    assert n("one hundred and five") == "105"
+    assert n("three thousand two hundred") == "3200"
+    assert n("the first time") == "the 1st time"
+    assert n("Uh, hello um world") == "hello world"
+    assert n("100% of $5") == "100 percent of 5 dollars"
+
+
+def test_mix_noise_at_snr():
+    import data_utils
+
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal(16000).astype(np.float32)
+    noise = rng.standard_normal(8000).astype(np.float32)
+    for snr in (0.0, 10.0):
+        mixed = data_utils.mix_noise_at_snr(sig, noise, snr)
+        added = mixed - sig
+        p_sig = np.mean(sig ** 2)
+        p_noise = np.mean(added ** 2)
+        measured = 10 * np.log10(p_sig / p_noise)
+        assert abs(measured - snr) < 0.5
+
+
+def test_evaluate_dataset_with_fake_pipeline(tmp_path):
+    import data_utils
+    import eval_utils
+
+    class FakePipeline:
+        def transcribe_batch(self, audios, **kw):
+            # Echo a transcript derived from audio length (deterministic).
+            return [{"text": "hello world"} for _ in audios]
+
+    samples = [
+        data_utils.EvalSample(
+            audio=np.zeros(16000, np.float32), text="hello world",
+            duration_s=1.0, id=str(i))
+        for i in range(5)
+    ] + [
+        data_utils.EvalSample(
+            audio=np.zeros(16000, np.float32), text="goodbye world",
+            duration_s=1.0, id="bad")
+    ]
+    res = eval_utils.evaluate_dataset(FakePipeline(), samples, batch_size=4)
+    assert res["n_samples"] == 6
+    # 5 perfect + 1 with 1 sub of 2 words -> corpus WER = 1/12
+    assert res["wer"] == pytest.approx(100 / 12, rel=1e-6)
+    assert res["rtfx"] > 0
+
+    merged = eval_utils.merge_save_results(
+        str(tmp_path / "r.json"), "fake_task", res)
+    assert "fake_task" in merged
+    # Rerun merge keeps previous entries.
+    merged = eval_utils.merge_save_results(
+        str(tmp_path / "r.json"), "other", {"wer": 1.0})
+    assert set(merged) == {"fake_task", "other"}
+
+
+def test_manifest_loader(tmp_path):
+    import data_utils
+    from thewhisper_tpu.audio.io import save_wav
+
+    wavs = []
+    for i in range(3):
+        p = str(tmp_path / f"{i}.wav")
+        save_wav(p, np.zeros(16000 * (i + 1), np.float32))
+        wavs.append(p)
+    manifest = tmp_path / "m.jsonl"
+    with open(manifest, "w") as f:
+        for i, p in enumerate(wavs):
+            f.write(json.dumps({"audio": p, "text": f"sample {i}"}) + "\n")
+
+    samples = list(data_utils.load_manifest(str(manifest)))
+    assert len(samples) == 3
+    assert samples[2].duration_s == pytest.approx(3.0)
+
+    # Duration filter.
+    samples = list(data_utils.load_manifest(
+        str(manifest), max_duration_s=1.5))
+    assert len(samples) == 1
