@@ -1,0 +1,136 @@
+"""asr_postprocess tests: rules, LLM classification, guards, optimization."""
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, ".")
+
+from asr_postprocess.analyze_errors import (
+    CATEGORIES,
+    analyze_pair,
+    merge_mismatches,
+    preclassify,
+)
+from asr_postprocess.apply_correction import safe_correct
+from asr_postprocess.dashboard import render_report
+from asr_postprocess.optimize_prompt import optimize_prompt, stratified_split
+from thewhisper_tpu.utils.wer import align_words
+
+
+def test_preclassify_rules():
+    assert preclassify({"ref_words": ["ice", "cream"],
+                        "hyp_words": ["icecream"]}, "en") == "WORD_BOUNDARY"
+    assert preclassify({"ref_words": ["big", "dog"],
+                        "hyp_words": ["dog", "big"]}, "en") == "WORD_ORDER"
+    assert preclassify({"ref_words": [], "hyp_words": ["s"]},
+                       "en") == "CLITIC_MARKER"
+    assert preclassify({"ref_words": ["t"], "hyp_words": ["not"]},
+                       "en") == "CLITIC_MARKER"
+    assert preclassify({"ref_words": [], "hyp_words": ["extra"]},
+                       "en") == "SPURIOUS_INSERTION"
+    assert preclassify({"ref_words": ["gone"], "hyp_words": []},
+                       "en") == "OMISSION"
+    assert preclassify({"ref_words": ["cat"], "hyp_words": ["hat"]},
+                       "en") is None
+
+
+def test_merge_mismatches_bridging():
+    ops = align_words("a b c d e".split(), "x b y d e".split())
+    # a->x, equal b, c->y: the single equal word bridges into one span.
+    spans = merge_mismatches(ops, max_gap=1)
+    assert len(spans) == 1
+    assert spans[0]["ref_words"] == ["a", "b", "c"]
+    assert spans[0]["hyp_words"] == ["x", "b", "y"]
+
+
+def test_analyze_pair_without_llm():
+    out = analyze_pair("the big cat sat", "the dog cat sat", lang="en")
+    assert out["subs"] == 1 and out["wer"] == pytest.approx(25.0)
+    cats = [m["category"] for m in out["mismatches"]]
+    assert cats == ["OTHER"]  # substitution needs the LLM; defaults to OTHER
+
+
+def test_analyze_pair_with_fake_llm():
+    def fake_llm(prompt):
+        assert "MISMATCHES" in prompt
+        return json.dumps({"classifications": [
+            {"index": 0, "category": "SEMANTIC_CHANGE"}]})
+
+    out = analyze_pair("the big cat", "the dog cat", lang="en", llm=fake_llm)
+    assert out["mismatches"][0]["category"] == "SEMANTIC_CHANGE"
+
+    def garbage_llm(prompt):
+        return "I think this is... not json"
+
+    out = analyze_pair("the big cat", "the dog cat", lang="en", llm=garbage_llm)
+    assert out["mismatches"][0]["category"] == "OTHER"
+
+
+def test_safe_correct_guards():
+    baseline = "the cat sat on the mat"
+
+    out, leak, rej = safe_correct(lambda p: "the cat sat on the mat",
+                                  baseline)
+    assert out == baseline and not leak and not rej
+
+    # Reasoning leak -> fallback.
+    out, leak, rej = safe_correct(
+        lambda p: "Wait, let me think... " + baseline * 3, baseline)
+    assert out == baseline and leak
+
+    # Too many edits -> rejected.
+    out, leak, rej = safe_correct(
+        lambda p: "a completely different sentence altogether now",
+        baseline, max_edits=2)
+    assert out == baseline and rej
+
+    # Exception -> silent fallback.
+    def boom(p):
+        raise RuntimeError("no llm")
+
+    out, leak, rej = safe_correct(boom, baseline)
+    assert out == baseline and not leak and not rej
+
+    # A small legitimate fix passes.
+    out, leak, rej = safe_correct(
+        lambda p: "the cat sat on the hat", baseline, max_edits=2)
+    assert out == "the cat sat on the hat" and not leak and not rej
+
+
+def test_optimize_prompt_with_fake_llm():
+    # The fake "LLM" fixes "teh"->"the" only when the prompt says "typos".
+    def llm(prompt):
+        hyp = prompt.rsplit("TRANSCRIPTION:", 1)[1].strip()
+        if "typos" in prompt:
+            return hyp.replace("teh", "the")
+        return hyp
+
+    samples = (
+        [{"ref": "the cat sat", "hyp": "teh cat sat"}] * 6
+        + [{"ref": "a clean one", "hyp": "a clean one"}] * 6
+    )
+    best, best_wer, trials = optimize_prompt(llm, samples, n_dev=8, seed=0)
+    assert best is not None and "typos" in best
+    assert best_wer == 0.0
+    assert len(trials) == 9
+
+
+def test_stratified_split():
+    samples = ([{"ref": "x", "hyp": "x"}] * 10
+               + [{"ref": "x", "hyp": "y"}] * 10)
+    dev = stratified_split(samples, 10, seed=1)
+    clean = sum(1 for s in dev if s["ref"] == s["hyp"])
+    assert clean == 5 and len(dev) == 10
+
+
+def test_render_report(tmp_path):
+    analyses = [
+        analyze_pair("the big cat sat", "the dog cat", lang="en"),
+        analyze_pair("hello world", "hello world", lang="en"),
+    ]
+    path = render_report(analyses, path=str(tmp_path / "r.html"))
+    text = open(path).read()
+    assert "corpus WER" in text and "<svg" in text
+    assert "dog" in text
