@@ -132,3 +132,127 @@ def greedy_decode(
     num_generated = jnp.where(any_eot, first_eot, max_new_tokens).astype(jnp.int32)
 
     return GreedyResult(out.tokens, num_generated, out.sum_lp, out.align)
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray        # (B, P + max_new) int32: best beam per sample
+    num_generated: jnp.ndarray  # (B,) int32
+    sum_logprob: jnp.ndarray   # (B,) f32 of the selected beam
+    all_tokens: jnp.ndarray    # (B, K, P + max_new) every beam (debug/nbest)
+
+
+def beam_decode(
+    params,
+    arch: WhisperArch,
+    prompt: jnp.ndarray,              # (B, P) int32
+    cache: DecodeCache,               # built with batch B*K (cross KV tiled)
+    num_beams: int,
+    max_new_tokens: int,
+    eot: int,
+    suppress: Optional[jnp.ndarray] = None,
+    begin_suppress: Optional[jnp.ndarray] = None,
+    length_penalty: float = 1.0,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> BeamResult:
+    """Batched beam search fully on device (HF defaults: length_penalty 1.0).
+
+    The cache carries B*K rows; each step gathers cache/token state by the
+    selected parent beams (``jnp.take`` along the batch axis). Alignment
+    capture is not supported under beams (the eval protocol is greedy;
+    word timestamps use the greedy path).
+    """
+    b, p = prompt.shape
+    k = num_beams
+    v = arch.vocab_size
+    s_max = p + max_new_tokens
+
+    flat_prompt = jnp.tile(prompt[:, None, :], (1, k, 1)).reshape(b * k, p)
+    logits_p, cache, _ = decoder_prefill(
+        params, flat_prompt, cache, arch, compute_dtype)
+
+    def step_logprobs(step_logits, is_first, done):
+        x = step_logits
+        if suppress is not None:
+            x = x + suppress
+        if begin_suppress is not None:
+            x = x + jnp.where(is_first, begin_suppress,
+                              jnp.zeros_like(begin_suppress))
+        logp = jax.nn.log_softmax(x, axis=-1).reshape(b, k, v)
+        # Finished beams may only extend with EOT at zero cost.
+        eot_only = jnp.full((v,), -1e9, jnp.float32).at[eot].set(0.0)
+        return jnp.where(done[:, :, None], eot_only[None, None, :], logp)
+
+    tokens = jnp.zeros((b, k, s_max), jnp.int32)
+    tokens = tokens.at[:, :, :p].set(prompt[:, None, :])
+    done0 = jnp.zeros((b, k), bool)
+    # Beam 0 carries the probability mass at start so topk yields K distinct
+    # continuations instead of K copies of the best token.
+    sum_lp = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, -1e9) * jnp.ones((b, 1))
+
+    logp0 = step_logprobs(logits_p[:, -1], jnp.bool_(True), done0)
+    cand = (sum_lp[:, :, None] + logp0).reshape(b, k * v)
+    new_sum, idx = jax.lax.top_k(cand, k)
+    parent = idx // v
+    tok = (idx % v).astype(jnp.int32)
+    rows = (jnp.arange(b)[:, None] * k + parent).reshape(-1)
+    tokens = jnp.take(tokens.reshape(b * k, s_max), rows, axis=0).reshape(b, k, s_max)
+    tokens = tokens.at[:, :, p].set(tok)
+    cache = DecodeCache(
+        jnp.take(cache.self_k, rows, axis=1),
+        jnp.take(cache.self_v, rows, axis=1),
+        cache.cross_k, cache.cross_v)
+    done = tok == eot
+    sum_lp = new_sum
+
+    class Carry(NamedTuple):
+        step: jnp.ndarray
+        tokens: jnp.ndarray
+        done: jnp.ndarray
+        cache: DecodeCache
+        sum_lp: jnp.ndarray
+
+    def cond(c):
+        return (c.step < max_new_tokens) & ~jnp.all(c.done)
+
+    def body(c):
+        pos = p + c.step - 1
+        last = jax.lax.dynamic_slice(
+            c.tokens.reshape(b * k, s_max), (0, pos), (b * k, 1))
+        logits, new_cache, _ = decoder_step(
+            params, last, pos.astype(jnp.int32), c.cache, arch, compute_dtype)
+        logp = step_logprobs(logits, jnp.bool_(False), c.done)
+        cand = (c.sum_lp[:, :, None] + logp).reshape(b, k * v)
+        new_sum, idx = jax.lax.top_k(cand, k)
+        parent = idx // v
+        tok = (idx % v).astype(jnp.int32)
+        rows = (jnp.arange(b)[:, None] * k + parent).reshape(-1)
+        toks = jnp.take(c.tokens.reshape(b * k, s_max), rows, axis=0)
+        toks = toks.reshape(b, k, s_max)
+        toks = jax.lax.dynamic_update_slice(
+            toks, tok[:, :, None], (0, 0, pos + 1))
+        new_done = jnp.take(c.done.reshape(-1), rows).reshape(b, k) | (tok == eot)
+        cache2 = DecodeCache(
+            jnp.take(new_cache.self_k, rows, axis=1),
+            jnp.take(new_cache.self_v, rows, axis=1),
+            new_cache.cross_k, new_cache.cross_v)
+        return Carry(c.step + 1, toks, new_done, cache2, new_sum)
+
+    out = jax.lax.while_loop(cond, body, Carry(jnp.int32(1), tokens, done, cache, sum_lp))
+
+    # Per-beam generated length = first EOT position (or max_new).
+    gen = out.tokens[:, :, p:]
+    is_eot = gen == eot
+    any_eot = jnp.any(is_eot, axis=-1)
+    first_eot = jnp.argmax(is_eot, axis=-1)
+    lengths = jnp.where(any_eot, first_eot, max_new_tokens)
+
+    score = out.sum_lp / jnp.maximum(lengths, 1).astype(jnp.float32) ** length_penalty
+    best = jnp.argmax(score, axis=-1)                     # (B,)
+    bidx = jnp.arange(b)
+    best_tokens = out.tokens[bidx, best]
+    return BeamResult(
+        tokens=best_tokens,
+        num_generated=lengths[bidx, best].astype(jnp.int32),
+        sum_logprob=out.sum_lp[bidx, best],
+        all_tokens=out.tokens,
+    )

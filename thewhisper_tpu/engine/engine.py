@@ -25,9 +25,16 @@ from thewhisper_tpu.config import (
     SpecialTokens,
     WhisperArch,
 )
-from thewhisper_tpu.engine.decode import GreedyResult, greedy_decode, suppress_mask
+from thewhisper_tpu.engine.decode import (
+    BeamResult,
+    GreedyResult,
+    beam_decode,
+    greedy_decode,
+    suppress_mask,
+)
 from thewhisper_tpu.models.whisper import (
     compute_cross_kv,
+    decoder_prefill,
     encoder_forward,
     make_cache,
 )
@@ -102,8 +109,8 @@ class WhisperEngine:
     # -- compiled program ----------------------------------------------------
 
     def _generate_fn(self, batch: int, t_mel: int, prompt_len: int,
-                     max_new: int, timestamps: bool):
-        key = (batch, t_mel, prompt_len, max_new, timestamps)
+                     max_new: int, timestamps: bool, num_beams: int = 1):
+        key = (batch, t_mel, prompt_len, max_new, timestamps, num_beams)
         with self._lock:
             fn = self._jit_cache.get(key)
         if fn is not None:
@@ -119,6 +126,18 @@ class WhisperEngine:
         def program(params, mel, prompt):
             enc = encoder_forward(params, mel, arch, compute_dtype)
             ck, cv = compute_cross_kv(params, enc, arch)
+            if num_beams > 1:
+                # Tile cross KV per beam; self cache rows are B*K.
+                ck_b = jnp.repeat(ck, num_beams, axis=1)
+                cv_b = jnp.repeat(cv, num_beams, axis=1)
+                cache = make_cache(
+                    arch, batch * num_beams, prompt_len + max_new,
+                    ck_b.astype(cache_dtype), cv_b.astype(cache_dtype),
+                    dtype=cache_dtype)
+                return beam_decode(
+                    params, arch, prompt, cache, num_beams, max_new, eot,
+                    suppress=suppress, begin_suppress=begin_suppress,
+                    compute_dtype=compute_dtype)
             cache = make_cache(
                 arch, batch, prompt_len + max_new,
                 ck.astype(cache_dtype), cv.astype(cache_dtype),
@@ -127,6 +146,32 @@ class WhisperEngine:
                 params, arch, prompt, cache, max_new, eot,
                 suppress=suppress, begin_suppress=begin_suppress,
                 capture_alignment=timestamps, compute_dtype=compute_dtype)
+
+        fn = jax.jit(program)
+        with self._lock:
+            self._jit_cache[key] = fn
+        return fn
+
+    def _detect_language_fn(self, batch: int, t_mel: int):
+        key = ("detect", batch, t_mel)
+        with self._lock:
+            fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        arch = self.arch
+        compute_dtype = self.compute_dtype
+        sp = self.special
+
+        def program(params, mel):
+            enc = encoder_forward(params, mel, arch, compute_dtype)
+            ck, cv = compute_cross_kv(params, enc, arch)
+            cache = make_cache(arch, batch, 4, ck, cv, dtype=compute_dtype)
+            sot = jnp.full((batch, 1), sp.sot, jnp.int32)
+            logits, _, _ = decoder_prefill(
+                params, sot, cache, arch, compute_dtype)
+            lang_logits = jax.lax.dynamic_slice_in_dim(
+                logits[:, -1], sp.first_language, sp.n_languages, axis=-1)
+            return jax.nn.softmax(lang_logits, axis=-1)
 
         fn = jax.jit(program)
         with self._lock:
@@ -155,16 +200,19 @@ class WhisperEngine:
 
         fn = self._generate_fn(
             bb, mel.shape[-1], len(prompt), options.max_new_tokens,
-            options.return_timestamps)
+            options.return_timestamps and options.num_beams == 1,
+            num_beams=options.num_beams)
         t0 = time.perf_counter()
-        result: GreedyResult = fn(self.params, jnp.asarray(mel), prompt_arr)
+        result = fn(self.params, jnp.asarray(mel), prompt_arr)
         tokens = np.asarray(result.tokens)           # blocks until done
         dt = time.perf_counter() - t0
         self.total_time_worked += dt
 
         num_gen = np.asarray(result.num_generated)
         sum_lp = np.asarray(result.sum_logprob)
-        align = np.asarray(result.align) if options.return_timestamps else None
+        align = (np.asarray(result.align)
+                 if options.return_timestamps and options.num_beams == 1
+                 else None)
         return EngineResult(
             tokens=tokens[:b],
             num_generated=num_gen[:b],
@@ -173,6 +221,31 @@ class WhisperEngine:
             align=align[:b] if align is not None else None,
             decode_time_s=dt,
         )
+
+    def detect_language(self, mel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Detect spoken language from features.
+
+        Runs one forced decoder step from ``<|startoftranscript|>`` and
+        softmaxes over the language-token block (the standard Whisper
+        detect_language; the reference always passes language explicitly).
+        Returns (language codes (B,), probabilities (B,)).
+        """
+        from thewhisper_tpu.config import LANGUAGES
+
+        mel = np.asarray(mel, dtype=np.float32)
+        if mel.ndim == 2:
+            mel = mel[None]
+        b = mel.shape[0]
+        bb = _bucket_batch(b, self.batch_buckets)
+        if bb != b:
+            mel = np.concatenate(
+                [mel, np.zeros((bb - b, *mel.shape[1:]), np.float32)], axis=0)
+        fn = self._detect_language_fn(bb, mel.shape[-1])
+        probs = np.asarray(fn(self.params, jnp.asarray(mel)))[:b]
+        idx = probs.argmax(-1)
+        codes = np.asarray(
+            [LANGUAGES[i] for i in idx])
+        return codes, probs[np.arange(b), idx]
 
     def warmup(self, t_mel: int, batches: Sequence[int] = (1,),
                max_new_tokens: int = 128, timestamps: bool = True) -> None:
@@ -189,11 +262,13 @@ class WhisperEngine:
         chunk_length_s: float = 30.0,
         compute_dtype: jnp.dtype = jnp.bfloat16,
         position_mode: Optional[str] = None,
+        quantize: Optional[str] = None,
     ) -> "WhisperEngine":
         """Build an engine from an HF checkpoint directory.
 
         Reads suppress-token lists from the checkpoint generation config
-        (parity with HF generate defaults).
+        (parity with HF generate defaults). ``quantize="int8"`` enables the
+        "S" mode: weight-only int8 decoder (models/quant.py).
         """
         import json
         import os
@@ -203,6 +278,12 @@ class WhisperEngine:
         params, arch = load_checkpoint(
             path, dtype=compute_dtype, chunk_length_s=chunk_length_s,
             position_mode=position_mode)
+        if quantize == "int8":
+            from thewhisper_tpu.models.quant import quantize_params
+
+            params = quantize_params(params, components=("decoder",))
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode: {quantize}")
         suppress: Sequence[int] = ()
         begin: Sequence[int] = ()
         gen_path = os.path.join(path, "generation_config.json")

@@ -1,0 +1,80 @@
+"""Weight-only int8 quantization — the "S" engine mode.
+
+Parity target: the reference's "S" checkpoints run int8-quantized decoders
+(MLX ``quantize_mlx_model``, ``apple/quantization_utils.py:5-13``; TensorRT
+int8 engines on NVIDIA, ``benchmark/README.md:92-94``). Here linear weights
+become ``{"q": int8 (in, out), "s": f32 (out,)}`` with symmetric
+per-output-channel scales; ``models.whisper._linear`` dequantizes on the
+fly inside the matmul (XLA fuses convert+scale into the contraction), so
+HBM holds 1 byte/weight — the decode loop is weight-bandwidth-bound, which
+is exactly where int8 pays on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Linear-weight leaf names eligible for quantization (matmul weights only;
+# biases, norms, embeddings, convs stay high precision).
+_QUANT_KEYS = {"q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w"}
+
+
+def quantize_weight(w: np.ndarray) -> Dict[str, Any]:
+    """Symmetric per-output-channel int8: w ~= q * s, q in [-127, 127].
+
+    The contraction axis of a linear weight is -2 ("...i,io->...o"), so the
+    scale reduces over it only — layer-stacked (L, in, out) weights get one
+    scale per (layer, out channel).
+    """
+    w = np.asarray(w, dtype=np.float32)
+    scale = np.max(np.abs(w), axis=-2)            # (..., out)
+    scale = np.maximum(scale, 1e-8) / 127.0
+    q = np.clip(np.round(w / scale[..., None, :]), -127, 127).astype(np.int8)
+    return {"q": jnp.asarray(q), "s": jnp.asarray(scale.astype(np.float32))}
+
+
+def dequantize_weight(leaf: Dict[str, Any], dtype=jnp.float32) -> jnp.ndarray:
+    return leaf["q"].astype(dtype) * leaf["s"].astype(dtype)[..., None, :]
+
+
+def is_quantized(leaf: Any) -> bool:
+    return isinstance(leaf, dict) and set(leaf) == {"q", "s"}
+
+
+def quantize_params(
+    params: Dict[str, Any],
+    components: Sequence[str] = ("decoder",),
+) -> Dict[str, Any]:
+    """Quantize the linear weights of the given top-level components.
+
+    Default quantizes only the decoder, like the reference "S" checkpoints
+    (the encoder runs once per window; the decoder's weights are re-read
+    every generated token).
+    """
+
+    def convert(tree):
+        if isinstance(tree, dict):
+            return {
+                k: (quantize_weight(np.asarray(v))
+                    if k in _QUANT_KEYS and not is_quantized(v)
+                    else convert(v))
+                for k, v in tree.items()
+            }
+        return tree
+
+    out = dict(params)
+    for comp in components:
+        out[comp] = convert(params[comp])
+    return out
+
+
+def quantized_bytes(params: Dict[str, Any]) -> int:
+    """Total parameter bytes (for memory accounting in logs/tests)."""
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -83,8 +83,12 @@ def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
-    y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype), precision=_prec(x.dtype))
+def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if isinstance(w, dict):  # int8 weight-only leaf {"q", "s"} (models.quant)
+        w = w["q"].astype(x.dtype) * w["s"].astype(x.dtype)[..., None, :]
+    else:
+        w = w.astype(x.dtype)
+    y = jnp.einsum("...i,io->...o", x, w, precision=_prec(x.dtype))
     if b is not None:
         y = y + b.astype(x.dtype)
     return y

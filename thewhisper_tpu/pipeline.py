@@ -59,9 +59,11 @@ class ASRPipeline:
             self.engine = model
         else:
             dtype = compute_dtype or (jnp.bfloat16 if model_size != "XL32" else jnp.float32)
+            # "S" = int8 weight-only decoder (reference quantized engines).
             self.engine = WhisperEngine.from_checkpoint(
                 model, chunk_length_s=chunk_length_s, compute_dtype=dtype,
-                position_mode=position_mode)
+                position_mode=position_mode,
+                quantize="int8" if model_size == "S" else None)
             if tokenizer is None:
                 tokenizer = _try_load_hf_tokenizer(model)
         self.tokenizer = tokenizer
