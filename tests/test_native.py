@@ -1,0 +1,99 @@
+"""C++ host runtime: build, parity with python fallbacks, ring buffer."""
+
+import numpy as np
+import pytest
+
+from thewhisper_tpu.native_lib import (
+    RingBuffer,
+    dtw_path_native,
+    edit_stats_native,
+    get_lib,
+)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable (no g++?)")
+    return lib
+
+
+def test_native_dtw_matches_python(lib):
+    from transformers.models.whisper.generation_whisper import _dynamic_time_warping
+
+    rng = np.random.default_rng(0)
+    for s, t in [(5, 9), (30, 100), (1, 7), (64, 64)]:
+        m = rng.standard_normal((s, t))
+        ref_text, ref_time = _dynamic_time_warping(-m)
+        out = dtw_path_native(-m)
+        assert out is not None
+        np.testing.assert_array_equal(out[0], ref_text)
+        np.testing.assert_array_equal(out[1], ref_time)
+
+
+def test_native_edit_stats(lib):
+    out = edit_stats_native(
+        np.array([1, 2, 3, 4], np.int32), np.array([1, 9, 3], np.int32))
+    assert out["subs"] == 1 and out["dels"] == 1 and out["ins"] == 0
+    assert out["hits"] == 2 and out["errors"] == 2
+
+    out = edit_stats_native(np.array([], np.int32), np.array([5, 6], np.int32))
+    assert out["ins"] == 2 and out["errors"] == 2
+
+
+def test_ring_buffer_roundtrip(lib):
+    rb = RingBuffer(capacity=128)
+    a = np.arange(100, dtype=np.float32)
+    b = np.arange(100, 300, dtype=np.float32)
+    rb.write(a)
+    rb.write(b)          # forces growth past the initial capacity
+    assert len(rb) == 300
+    np.testing.assert_array_equal(rb.peek(), np.arange(300, dtype=np.float32))
+    np.testing.assert_array_equal(rb.peek(10, offset=5),
+                                  np.arange(5, 15, dtype=np.float32))
+    rb.discard(150)
+    assert len(rb) == 150
+    np.testing.assert_array_equal(rb.peek(3), np.array([150., 151., 152.], np.float32))
+    rb.write(np.array([999.0], np.float32))
+    assert rb.peek()[-1] == 999.0
+    rb.clear()
+    assert len(rb) == 0 and rb.peek().size == 0
+
+
+def test_ring_buffer_wraparound(lib):
+    rb = RingBuffer(capacity=1024)
+    # Repeated write/discard cycles force the head to wrap.
+    expect_start = 0.0
+    for i in range(50):
+        rb.write(np.full(300, float(i), np.float32))
+        if len(rb) > 700:
+            rb.discard(500)
+    out = rb.peek()
+    assert len(out) == len(rb)
+    # Monotonic non-decreasing fill values prove ordering survived wraps.
+    assert (np.diff(out) >= 0).all()
+
+
+def test_streaming_pipeline_buffer_still_behaves():
+    """The ring-buffer-backed pipeline keeps the same external contract."""
+    from thewhisper_tpu.streaming import StreamingPipeline, TranscriptionBackend
+
+    class Echo(TranscriptionBackend):
+        def transcribe(self, audio, buffer_start_time, sample_rate):
+            n = int(len(audio) / sample_rate / 0.5)
+            return [{"text": f" w{i}", "start": buffer_start_time + 0.5 * i,
+                     "end": buffer_start_time + 0.5 * (i + 1)}
+                    for i in range(n)]
+
+    sp = StreamingPipeline(backend=Echo(), chunk_length_s=4, use_vad=False)
+    rng = np.random.default_rng(0)
+    committed = []
+    for _ in range(140):
+        c, a = sp((0.1 * rng.standard_normal(800)).astype(np.float32))
+        committed.extend(c)
+    assert committed
+    assert sp.stats["chunks_processed"] > 0
+    assert sp.stats["transcribe_s"] > 0
+    sp.clear()
+    assert sp.current_audio_buffer is None

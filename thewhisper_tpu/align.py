@@ -41,7 +41,16 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     Allowed moves: diagonal (i-1,j-1), up (i-1,j), left (i,j-1). Returns the
     backtraced (text_indices, time_indices). Matches HF
     ``_dynamic_time_warping`` on the negative alignment matrix.
+
+    Uses the C++ host runtime when available (native/whisper_host.cpp);
+    the numpy anti-diagonal sweep below is the fallback.
     """
+    from thewhisper_tpu.native_lib import dtw_path_native
+
+    native = dtw_path_native(cost)
+    if native is not None:
+        return native
+
     s, t = cost.shape
     inf = np.inf
     acc = np.full((s + 1, t + 1), inf, dtype=np.float64)

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import time
 import zlib
 from abc import ABC, abstractmethod
 from typing import Any, Dict, List, Optional, Tuple
@@ -33,6 +34,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from thewhisper_tpu.audio.io import wav_bytes
+from thewhisper_tpu.native_lib import RingBuffer
 from thewhisper_tpu.streaming.vad import make_vad
 
 logger = logging.getLogger(__name__)
@@ -312,8 +314,10 @@ class StreamingPipeline:
                 model, model_size=model_size, chunk_length_s=chunk_length_s,
                 language=language, **backend_kwargs)
 
-        # Rolling transcription state.
-        self.current_audio_buffer: Optional[np.ndarray] = None
+        # Rolling transcription state. The audio buffer is the C++ ring
+        # buffer (native/whisper_host.cpp) — O(1) appends instead of the
+        # reference's np.concatenate-per-chunk rebuild.
+        self._buffer = RingBuffer()
         self.buffer_start_time = 0.0
         self.current_time = 0.0
         self.audio_queue: List[np.ndarray] = []
@@ -336,6 +340,19 @@ class StreamingPipeline:
         if use_vad:
             self.vad_model = vad if not isinstance(vad, str) else make_vad(
                 vad, sample_rate=sample_rate)
+
+        # Per-stage wall-clock accumulators (aux observability; the
+        # reference only tracks total_time_worked on the model wrappers).
+        self.stats = {"vad_s": 0.0, "transcribe_s": 0.0,
+                      "postprocess_s": 0.0, "chunks_processed": 0,
+                      "last_latency_s": 0.0}
+
+    @property
+    def current_audio_buffer(self) -> Optional[np.ndarray]:
+        """Materialized rolling buffer (read-only view for callers/tests)."""
+        if len(self._buffer) == 0:
+            return None
+        return self._buffer.peek()
 
     # -- input side ----------------------------------------------------------
 
@@ -370,7 +387,9 @@ class StreamingPipeline:
             self._flush_pending_if_ready()
             return
 
+        t0 = time.perf_counter()
         has_speech = self._vad_speech(chunk)
+        self.stats["vad_s"] += time.perf_counter() - t0
 
         self._recent_chunks.append(chunk)
         if len(self._recent_chunks) > self._prepend_chunks:
@@ -414,39 +433,40 @@ class StreamingPipeline:
         if not self.audio_queue:
             return [], []
 
+        t_start = time.perf_counter()
         chunk = np.concatenate(self.audio_queue)
         self.audio_queue = []
         self.current_time += len(chunk) / self.sample_rate
+        self._buffer.write(chunk)
 
-        if self.current_audio_buffer is None:
-            self.current_audio_buffer = chunk
-        else:
-            self.current_audio_buffer = np.concatenate(
-                [self.current_audio_buffer, chunk])
-
-        if len(self.current_audio_buffer) < 2.0 * self.sample_rate:
+        if len(self._buffer) < 2.0 * self.sample_rate:
             return [], []
 
         committed: List[Word] = []
         assumption: List[Word] = []
 
         if self.need_to_process:
+            t0 = time.perf_counter()
             words = self.backend.transcribe(
-                audio=self.current_audio_buffer,
+                audio=self._buffer.peek(),
                 buffer_start_time=self.buffer_start_time,
                 sample_rate=self.sample_rate,
             )
+            self.stats["transcribe_s"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             words = self._postprocess(words)
+            self.stats["postprocess_s"] += time.perf_counter() - t0
+            self.stats["chunks_processed"] += 1
             self.need_to_process = False
             assumption = words
             self.history.append(words)
 
         max_allowed = (self.window_size - self.min_process_chunk_s) * self.sample_rate
-        need_trim = len(self.current_audio_buffer) > max_allowed
+        need_trim = len(self._buffer) > max_allowed
         truncation_time: Optional[float] = None
 
         if (self._prev_speech_mode and not self._in_speech_mode
-                and len(self.current_audio_buffer) > 6 * self.sample_rate):
+                and len(self._buffer) > 6 * self.sample_rate):
             need_trim = True
             truncation_time = self.current_time
         self._prev_speech_mode = self._in_speech_mode
@@ -462,6 +482,7 @@ class StreamingPipeline:
                 if committed:
                     self._last_committed_word = committed[-1]["text"].strip()
 
+        self.stats["last_latency_s"] = time.perf_counter() - t_start
         return committed, assumption
 
     # -- heuristics ----------------------------------------------------------
@@ -537,8 +558,7 @@ class StreamingPipeline:
         delta = truncation_time - self.buffer_start_time
         if delta <= 0:
             return
-        self.current_audio_buffer = self.current_audio_buffer[
-            int(delta * self.sample_rate):]
+        self._buffer.discard(int(delta * self.sample_rate))
         self.buffer_start_time = truncation_time
         new_history = []
         for words in self.history:
@@ -548,7 +568,7 @@ class StreamingPipeline:
         self.history = new_history
 
     def clear(self) -> None:
-        self.current_audio_buffer = None
+        self._buffer.clear()
         self._pending_chunk = None
         self.buffer_start_time = 0.0
         self.current_time = 0.0

@@ -15,7 +15,25 @@ import numpy as np
 
 
 def edit_stats(ref: Sequence, hyp: Sequence) -> Dict[str, int]:
-    """Levenshtein S/D/I counts between two token sequences."""
+    """Levenshtein S/D/I counts between two token sequences.
+
+    Dispatches to the C++ host runtime (tokens interned to int32 ids) when
+    available; pure-numpy fallback below.
+    """
+    from thewhisper_tpu.native_lib import edit_stats_native
+
+    vocab: Dict = {}
+
+    def intern(seq):
+        out = np.empty(len(seq), dtype=np.int32)
+        for i, tok in enumerate(seq):
+            out[i] = vocab.setdefault(tok, len(vocab))
+        return out
+
+    native = edit_stats_native(intern(ref), intern(hyp))
+    if native is not None:
+        return native
+
     n, m = len(ref), len(hyp)
     # dp[i, j]: (cost, subs, dels, ins) packed as cost matrix + backtrace.
     cost = np.zeros((n + 1, m + 1), dtype=np.int32)
