@@ -56,10 +56,16 @@ def render_report(analyses: List[Dict[str, Any]], title: str = "ASR error report
         for a in analyses for m in a.get("mismatches", []))
     worst = sorted(analyses, key=lambda a: -a["wer"])[:50]
 
+    def _audio_cell(a):
+        asset = a.get("audio_asset")
+        if not asset:
+            return ""
+        return f'<br><audio controls src="{html.escape(asset)}"></audio>'
+
     rows = "".join(
         f"<tr><td>{i}</td><td>{a['wer']:.1f}</td>"
         f"<td>{a['subs']}/{a['dels']}/{a['ins']}</td>"
-        f"<td>{html.escape(a['ref'][:120])}</td>"
+        f"<td>{html.escape(a['ref'][:120])}{_audio_cell(a)}</td>"
         f"<td>{_diff_html(a)}</td></tr>"
         for i, a in enumerate(worst))
 
