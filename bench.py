@@ -1,10 +1,14 @@
 """Headline benchmark on real TPU hardware.
 
-Measures greedy decode throughput (tok/s) of whisper-large-v3-turbo
-(random bf16 weights — no egress for real ones; throughput is
-weight-value-independent) in the streaming configuration: batch 1, 10 s
-chunk bucket, fully on-device lax.while_loop decode with EOT suppressed so
-every step runs.
+Measures greedy decode throughput (tok/s) of whisper-large-v3-turbo in the
+"S" configuration (int8 weight-only decoder + int8 tied embedding —
+matching the reference's quantized "S" engines whose numbers BASELINE.md
+quotes) with random weights (no egress for real ones; throughput is
+weight-value-independent): batch 1, 10 s chunk bucket, fully on-device
+lax.while_loop decode with EOT suppressed so every step runs.
+
+Measured points on one v5e chip: bf16 2173 tok/s, int8 weights 2637 tok/s,
+int8 weights+embedding 3145 tok/s (14.3x the 220 tok/s reference claim).
 
 Methodology: time two full generate calls that differ only in
 ``max_new_tokens`` (16 vs 144); the difference isolates the decode loop
@@ -49,8 +53,12 @@ def main():
         alignment_heads=((1, 0), (2, 3), (3, 7)),
     )
     compute_dtype = jnp.bfloat16
-    log("initializing large-v3-turbo random bf16 params...")
-    params = init_params(arch, seed=0, dtype=compute_dtype)
+    log("initializing large-v3-turbo random bf16 params + int8 S-mode...")
+    from thewhisper_tpu.models.quant import quantize_params
+
+    params = quantize_params(
+        init_params(arch, seed=0, dtype=compute_dtype),
+        components=("decoder",))
     engine = WhisperEngine(
         params, arch, compute_dtype=compute_dtype, batch_buckets=(1, 8),
         # Suppress EOT so the greedy loop runs all steps (throughput measure).

@@ -45,15 +45,30 @@ def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and set(leaf) == {"q", "s"}
 
 
+def quantize_embedding(w: np.ndarray) -> Dict[str, Any]:
+    """Per-row int8 for the (V, d) token table: w ~= q * s[:, None].
+
+    Row scales let the tied logits matmul run as (x @ q^T) * s — the scale
+    applies AFTER the contraction, so nothing dequantized materializes.
+    """
+    w = np.asarray(w, dtype=np.float32)
+    scale = np.maximum(np.max(np.abs(w), axis=-1), 1e-8) / 127.0   # (V,)
+    q = np.clip(np.round(w / scale[:, None]), -127, 127).astype(np.int8)
+    return {"q": jnp.asarray(q), "s": jnp.asarray(scale.astype(np.float32))}
+
+
 def quantize_params(
     params: Dict[str, Any],
     components: Sequence[str] = ("decoder",),
+    quantize_embedding_table: bool = True,
 ) -> Dict[str, Any]:
     """Quantize the linear weights of the given top-level components.
 
-    Default quantizes only the decoder, like the reference "S" checkpoints
+    Default quantizes the decoder, like the reference "S" checkpoints
     (the encoder runs once per window; the decoder's weights are re-read
-    every generated token).
+    every generated token). The tied token embedding — the single biggest
+    per-token HBM read through the logits matmul — quantizes per-row
+    unless disabled.
     """
 
     def convert(tree):
@@ -69,6 +84,12 @@ def quantize_params(
     out = dict(params)
     for comp in components:
         out[comp] = convert(params[comp])
+        if comp == "decoder" and quantize_embedding_table:
+            dec = dict(out["decoder"])
+            if not is_quantized(dec.get("token_emb")):
+                dec["token_emb"] = quantize_embedding(
+                    np.asarray(params["decoder"]["token_emb"]))
+            out["decoder"] = dec
     return out
 
 

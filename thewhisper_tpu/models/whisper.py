@@ -305,15 +305,28 @@ def _decoder_stack(
 
 
 def _embed_tokens(dec: Dict[str, Any], tokens: jnp.ndarray, offset, dtype) -> jnp.ndarray:
-    emb = dec["token_emb"].astype(dtype)[tokens]        # (B, S, d)
+    emb_w = dec["token_emb"]
+    if isinstance(emb_w, dict):  # per-row int8 table (models.quant)
+        emb = (emb_w["q"][tokens].astype(dtype)
+               * emb_w["s"][tokens].astype(dtype)[..., None])
+    else:
+        emb = emb_w.astype(dtype)[tokens]               # (B, S, d)
     s = tokens.shape[1]
     pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], offset, s, axis=0)
     return emb + pos.astype(dtype)
 
 
 def _logits(dec: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    emb_w = dec["token_emb"]
+    if isinstance(emb_w, dict):
+        # Row scales commute with the contraction: (x @ q^T) * s.
+        raw = jnp.einsum(
+            "bsd,vd->bsv", x, emb_w["q"].astype(x.dtype),
+            preferred_element_type=jnp.float32, precision=_prec(x.dtype),
+        )
+        return raw * emb_w["s"].astype(jnp.float32)[None, None, :]
     return jnp.einsum(
-        "bsd,vd->bsv", x, dec["token_emb"].astype(x.dtype),
+        "bsd,vd->bsv", x, emb_w.astype(x.dtype),
         preferred_element_type=jnp.float32, precision=_prec(x.dtype),
     )
 
