@@ -91,3 +91,45 @@ def test_parity_with_hf_on_checkpoint(tiny_ckpt):
     enc = encoder_forward(params, jnp.asarray(mel), arch)
     ours = np.asarray(decoder_train_forward(params, jnp.asarray(tokens), enc, arch))
     np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_end_to_end_greedy_parity_with_torch(tiny_ckpt):
+    """Engine greedy tokens == torch greedy loop on the same checkpoint."""
+    import torch
+    import jax.numpy as jnp
+    from transformers import WhisperForConditionalGeneration
+
+    from thewhisper_tpu.config import GenerationOptions
+    from thewhisper_tpu.engine import WhisperEngine
+    from thewhisper_tpu.audio.features import LogMelFeaturizer
+
+    model = WhisperForConditionalGeneration.from_pretrained(tiny_ckpt).eval()
+    eng = WhisperEngine.from_checkpoint(
+        tiny_ckpt, chunk_length_s=30, compute_dtype=jnp.float32)
+    # Drop begin-suppress for exact comparability with the bare torch loop.
+    eng._begin_suppress = None
+
+    feat = LogMelFeaturizer(n_mels=128, chunk_length_s=30.0, use_pallas=False)
+    audio = (0.2 * np.sin(2 * np.pi * 260 * np.arange(64000) / 16000)
+             ).astype(np.float32)
+    mel = np.asarray(feat(audio))
+
+    prompt = np.asarray(eng.build_prompt("en"), dtype=np.int64)
+    max_new = 10
+    with torch.no_grad():
+        tokens = torch.from_numpy(prompt[None, :])
+        feats = torch.from_numpy(mel)
+        for _ in range(max_new):
+            logits = model(input_features=feats,
+                           decoder_input_ids=tokens).logits
+            nxt = logits[:, -1].argmax(-1)
+            tokens = torch.cat([tokens, nxt[:, None]], dim=1)
+            if int(nxt[0]) == eng.special.eot:
+                break
+    ref = tokens[0, len(prompt):].numpy()
+
+    res = eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=max_new, language="en"))
+    n = min(len(ref), int(res.num_generated[0]) + 1)
+    ours = res.tokens[0, res.prompt_len: res.prompt_len + n]
+    np.testing.assert_array_equal(ours, ref[:n])
