@@ -58,7 +58,7 @@ def greedy_decode(
 ) -> GreedyResult:
     b, p = prompt.shape
     s_max = p + max_new_tokens
-    t_enc = cache.cross_k.shape[2]
+    t_enc = cache.cross_k.shape[4]
     n_align = max(1, len(arch.alignment_heads))
     v = arch.vocab_size
 
@@ -92,11 +92,18 @@ def greedy_decode(
     done0 = first_tok == eot
     sum_lp0 = jnp.where(done0, 0.0, first_lp)
 
+    # The cross K/V never changes during decode: keep it OUT of the loop
+    # carry (closure constants are loop invariants for XLA). Carrying it
+    # made every iteration copy the full cross cache — ~2 GB/step at bs=32
+    # per XLA cost analysis.
+    cross_k, cross_v = cache.cross_k, cache.cross_v
+
     class Carry(NamedTuple):
         step: jnp.ndarray
         tokens: jnp.ndarray
         done: jnp.ndarray
-        cache: DecodeCache
+        self_k: jnp.ndarray
+        self_v: jnp.ndarray
         align: jnp.ndarray
         sum_lp: jnp.ndarray
 
@@ -106,8 +113,9 @@ def greedy_decode(
     def body(c: Carry):
         pos = p + c.step - 1          # cache slot of the token being fed
         tok = jax.lax.dynamic_slice(c.tokens, (0, pos), (b, 1))
+        step_cache = DecodeCache(c.self_k, c.self_v, cross_k, cross_v)
         logits, new_cache, align_step = decoder_step(
-            params, tok, pos.astype(jnp.int32), c.cache, arch, compute_dtype)
+            params, tok, pos.astype(jnp.int32), step_cache, arch, compute_dtype)
         nxt, lp = pick(logits, jnp.bool_(False))
         nxt = jnp.where(c.done, eot, nxt)
         new_tokens = jax.lax.dynamic_update_slice(
@@ -119,9 +127,11 @@ def greedy_decode(
                 c.align, align_step[:, :, None, :], (0, 0, pos, 0))
         else:
             new_align = c.align
-        return Carry(c.step + 1, new_tokens, new_done, new_cache, new_align, new_sum)
+        return Carry(c.step + 1, new_tokens, new_done,
+                     new_cache.self_k, new_cache.self_v, new_align, new_sum)
 
-    init = Carry(jnp.int32(1), tokens, done0, cache, align_buf, sum_lp0)
+    init = Carry(jnp.int32(1), tokens, done0, cache.self_k, cache.self_v,
+                 align_buf, sum_lp0)
     out = jax.lax.while_loop(cond, body, init)
 
     # Count generated tokens per sequence (first EOT position, else max_new).
@@ -204,11 +214,14 @@ def beam_decode(
     done = tok == eot
     sum_lp = new_sum
 
+    cross_k_const, cross_v_const = cache.cross_k, cache.cross_v
+
     class Carry(NamedTuple):
         step: jnp.ndarray
         tokens: jnp.ndarray
         done: jnp.ndarray
-        cache: DecodeCache
+        self_k: jnp.ndarray
+        self_v: jnp.ndarray
         sum_lp: jnp.ndarray
 
     def cond(c):
@@ -218,8 +231,9 @@ def beam_decode(
         pos = p + c.step - 1
         last = jax.lax.dynamic_slice(
             c.tokens.reshape(b * k, s_max), (0, pos), (b * k, 1))
+        step_cache = DecodeCache(c.self_k, c.self_v, cross_k_const, cross_v_const)
         logits, new_cache, _ = decoder_step(
-            params, last, pos.astype(jnp.int32), c.cache, arch, compute_dtype)
+            params, last, pos.astype(jnp.int32), step_cache, arch, compute_dtype)
         logp = step_logprobs(logits, jnp.bool_(False), c.done)
         cand = (c.sum_lp[:, :, None] + logp).reshape(b, k * v)
         new_sum, idx = jax.lax.top_k(cand, k)
@@ -231,13 +245,13 @@ def beam_decode(
         toks = jax.lax.dynamic_update_slice(
             toks, tok[:, :, None], (0, 0, pos + 1))
         new_done = jnp.take(c.done.reshape(-1), rows).reshape(b, k) | (tok == eot)
-        cache2 = DecodeCache(
-            jnp.take(new_cache.self_k, rows, axis=1),
-            jnp.take(new_cache.self_v, rows, axis=1),
-            new_cache.cross_k, new_cache.cross_v)
-        return Carry(c.step + 1, toks, new_done, cache2, new_sum)
+        return Carry(c.step + 1, toks, new_done,
+                     jnp.take(new_cache.self_k, rows, axis=1),
+                     jnp.take(new_cache.self_v, rows, axis=1), new_sum)
 
-    out = jax.lax.while_loop(cond, body, Carry(jnp.int32(1), tokens, done, cache, sum_lp))
+    out = jax.lax.while_loop(
+        cond, body,
+        Carry(jnp.int32(1), tokens, done, cache.self_k, cache.self_v, sum_lp))
 
     # Per-beam generated length = first EOT position (or max_new).
     gen = out.tokens[:, :, p:]
