@@ -1,0 +1,13 @@
+"""Apple-backend alias: resolves to the TPU engine (device swap shim)."""
+
+import warnings
+
+from thewhisper_tpu.pipeline import ASRPipeline  # noqa: F401
+
+warnings.warn(
+    "thestage_speechkit.apple is the CoreML/MLX backend of the reference; "
+    "this build runs the TPU engine instead (same API).",
+    stacklevel=2,
+)
+
+__all__ = ["ASRPipeline"]
