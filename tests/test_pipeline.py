@@ -84,3 +84,31 @@ def test_determinism(tiny_pipeline):
     o1 = tiny_pipeline(a, return_timestamps="word", generate_kwargs=dict(kw))
     o2 = tiny_pipeline(a, return_timestamps="word", generate_kwargs=dict(kw))
     assert o1 == o2
+
+
+def test_latency_buckets(tiny_pipeline):
+    from thewhisper_tpu.pipeline import ASRPipeline
+
+    eng = tiny_pipeline.engine
+    pipe = ASRPipeline(
+        eng, tokenizer=tiny_pipeline.tokenizer, chunk_length_s=3,
+        latency_buckets=[1.0, 2.0])
+    assert pipe.latency_buckets == [1.0, 2.0, 3.0]
+    assert pipe._pick_bucket(0.8) == 1.0
+    assert pipe._pick_bucket(1.5) == 2.0
+    assert pipe._pick_bucket(2.9) == 3.0
+
+    # Short buffer rides the 1 s bucket; output schema unchanged.
+    out = pipe.transcribe_batch(
+        [_audio(0.7, seed=9)], generate_kwargs={"max_new_tokens": 4,
+                                                "language": "en"})
+    assert isinstance(out[0]["text"], str)
+    # Full-length buffer uses the model chunk; result matches the default
+    # single-bucket pipeline exactly.
+    base = tiny_pipeline.transcribe_batch(
+        [_audio(2.8, seed=10)], generate_kwargs={"max_new_tokens": 4,
+                                                 "language": "en"})
+    bucketed = pipe.transcribe_batch(
+        [_audio(2.8, seed=10)], generate_kwargs={"max_new_tokens": 4,
+                                                 "language": "en"})
+    assert base[0]["text"] == bucketed[0]["text"]

@@ -51,6 +51,7 @@ class ASRPipeline:
         position_mode: Optional[str] = None,
         batch_size: int = 8,
         use_pallas: Optional[bool] = None,
+        latency_buckets: Optional[Sequence[float]] = None,
         device: Optional[str] = None,       # accepted for API parity; TPU-only
     ):
         import jax.numpy as jnp
@@ -70,11 +71,36 @@ class ASRPipeline:
         self.model_chunk_length_s = float(chunk_length_s)
         self.language = language
         self.batch_size = batch_size
-        self.featurizer = LogMelFeaturizer(
-            n_mels=self.engine.arch.n_mels,
-            chunk_length_s=self.model_chunk_length_s,
-            use_pallas=use_pallas,
-        )
+        self._use_pallas = use_pallas
+        # Opt-in sub-chunk featurization: short streaming buffers encode at
+        # the smallest bucket that fits instead of padding to the full chunk
+        # (the flexible-chunk fine-tunes accept truncated positions, SURVEY
+        # section 5 "Flexible chunk models"; halving encoder positions
+        # roughly halves encode latency). Default: single full-chunk bucket,
+        # exact reference behavior.
+        buckets = sorted(set(
+            float(b) for b in (latency_buckets or [])
+            if 0 < float(b) <= self.model_chunk_length_s))
+        if self.model_chunk_length_s not in buckets:
+            buckets.append(self.model_chunk_length_s)
+        self.latency_buckets = buckets
+        self._featurizers = {}
+        self.featurizer = self._featurizer_for(self.model_chunk_length_s)
+
+    def _featurizer_for(self, bucket_s: float) -> LogMelFeaturizer:
+        feat = self._featurizers.get(bucket_s)
+        if feat is None:
+            feat = LogMelFeaturizer(
+                n_mels=self.engine.arch.n_mels, chunk_length_s=bucket_s,
+                use_pallas=self._use_pallas)
+            self._featurizers[bucket_s] = feat
+        return feat
+
+    def _pick_bucket(self, longest_s: float) -> float:
+        for b in self.latency_buckets:
+            if longest_s <= b:
+                return b
+        return self.model_chunk_length_s
 
     # -- token decode helper -------------------------------------------------
 
@@ -159,12 +185,15 @@ class ASRPipeline:
         want_words = return_timestamps == "word"
         win = int(self.model_chunk_length_s * SAMPLE_RATE)
         windows = [np.asarray(a, np.float32).reshape(-1)[:win] for a in audios]
+        bucket_s = self._pick_bucket(
+            max((len(w) for w in windows), default=0) / SAMPLE_RATE)
         opts = GenerationOptions(
             max_new_tokens=max_new_tokens, language=language, task=task,
             return_timestamps=want_words,
         )
         seqs, ts_seqs = self._decode_windows(
-            windows, [0] * len(windows), opts, len(windows), want_words)
+            windows, [0] * len(windows), opts, len(windows), want_words,
+            bucket_s=bucket_s)
         return [
             self._format_output(
                 seqs[i], ts_seqs[i] if want_words else None, language, want_words)
@@ -173,15 +202,18 @@ class ASRPipeline:
 
     # -- shared internals ----------------------------------------------------
 
-    def _decode_windows(self, windows, offsets, opts, bsz, want_words):
+    def _decode_windows(self, windows, offsets, opts, bsz, want_words,
+                        bucket_s: Optional[float] = None):
         """Run windows through the engine -> per-window (ids, (start,end))."""
+        featurizer = (self.featurizer if bucket_s is None
+                      else self._featurizer_for(bucket_s))
         seqs: List[List[int]] = []
         ts_seqs: List[List[Tuple[Optional[float], Optional[float]]]] = []
         win = max((len(w) for w in windows), default=0)
         win = max(win, 1)
         for start in range(0, len(windows), bsz):
             batch = windows[start: start + bsz]
-            mel = np.asarray(self.featurizer(_pad_stack(batch, win)))
+            mel = np.asarray(featurizer(_pad_stack(batch, win)))
             res = self.engine.transcribe_features(mel, opts)
             p = res.prompt_len
             if want_words:
