@@ -7,8 +7,10 @@ quotes) with random weights (no egress for real ones; throughput is
 weight-value-independent): batch 1, 10 s chunk bucket, fully on-device
 lax.while_loop decode with EOT suppressed so every step runs.
 
-Measured points on one v5e chip: bf16 2173 tok/s, int8 weights 2637 tok/s,
-int8 weights+embedding 3145 tok/s (14.3x the 220 tok/s reference claim).
+Measured points on one v5e chip (run-to-run tunnel variance ~+-10%):
+bf16 2173 tok/s; int8 weights 2637; int8 weights+embedding 3145-3252
+(14.8x the 220 tok/s reference claim). bs=8 aggregate ~10-11k tok/s; p50
+streaming chunk latency 131-148 ms; offline bs=32 RTFx 359-411.
 
 Methodology: time two full generate calls that differ only in
 ``max_new_tokens`` (16 vs 144); the difference isolates the decode loop
