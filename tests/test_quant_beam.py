@@ -128,3 +128,56 @@ def test_detect_language(tiny):
     from thewhisper_tpu.config import LANGUAGES
 
     assert all(c in LANGUAGES[:SP.n_languages] for c in codes)
+
+
+def test_no_speech_prob_and_token_logprobs(tiny):
+    arch, params = tiny
+    eng = WhisperEngine(params, arch, special=SP, batch_buckets=(1,))
+    mel = np.random.default_rng(6).standard_normal((1, 80, 100)).astype(np.float32)
+    res = eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=6, language="en"))
+    assert res.no_speech_prob is not None
+    assert 0.0 <= float(res.no_speech_prob[0]) <= 1.0
+    assert res.token_logprobs.shape == (1, 6)
+    n = int(res.num_generated[0])
+    # Generated-token logprobs are negative (log of a probability).
+    assert (res.token_logprobs[0, :max(n, 1)] <= 1e-6).all()
+
+
+def test_word_confidences(tiny):
+    arch, params = tiny
+    eng = WhisperEngine(params, arch, special=SP, batch_buckets=(1,),
+                        suppress_tokens=list(range(90, 200)))
+
+    from thewhisper_tpu.pipeline import ASRPipeline
+
+    class Tok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(f" w{int(i)}" for i in ids if int(i) < 90)
+
+    # arch.max_source_positions is 50 -> 1 s chunk (100 mel frames).
+    pipe = ASRPipeline(eng, tokenizer=Tok(), chunk_length_s=1)
+    out = pipe.transcribe_batch(
+        [np.random.default_rng(7).standard_normal(12000).astype(np.float32)],
+        generate_kwargs={"max_new_tokens": 6, "language": "en"})[0]
+    for ch in out["chunks"]:
+        assert 0.0 < ch["confidence"] <= 1.0
+
+
+def test_int8_weights_only_mode(tiny_ckpt_path=None):
+    import jax.numpy as jnp
+    from thewhisper_tpu.models.quant import is_quantized, quantize_params
+    from thewhisper_tpu.models.whisper import init_params as ip
+    from thewhisper_tpu.config import ARCH_PRESETS
+    import dataclasses as dc
+
+    arch = dc.replace(ARCH_PRESETS["tiny"], d_model=64, encoder_layers=1,
+                      encoder_heads=4, decoder_layers=1, decoder_heads=4,
+                      d_ff=128, vocab_size=120, max_source_positions=20,
+                      max_target_positions=16)
+    params = ip(arch, seed=0)
+    q_full = quantize_params(params, components=("decoder",))
+    q_w = quantize_params(params, components=("decoder",),
+                          quantize_embedding_table=False)
+    assert is_quantized(q_full["decoder"]["token_emb"])
+    assert not is_quantized(q_w["decoder"]["token_emb"])

@@ -42,6 +42,8 @@ class GreedyResult(NamedTuple):
     num_generated: jnp.ndarray  # (B,) int32, count before/including EOT
     sum_logprob: jnp.ndarray   # (B,) f32 over generated tokens (for filters)
     align: jnp.ndarray         # (B, A, P + max_new, T_enc) f32 (zeros if off)
+    token_logprobs: jnp.ndarray  # (B, max_new) f32 per generated token
+    no_speech_prob: jnp.ndarray  # (B,) f32 P(no_speech | sot) if id given
 
 
 def greedy_decode(
@@ -55,6 +57,7 @@ def greedy_decode(
     begin_suppress: Optional[jnp.ndarray] = None,  # (V,) additive
     capture_alignment: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
+    no_speech_id: Optional[int] = None,
 ) -> GreedyResult:
     b, p = prompt.shape
     s_max = p + max_new_tokens
@@ -86,6 +89,16 @@ def greedy_decode(
 
     first_tok, first_lp = pick(logits_p[:, -1], jnp.bool_(True))
 
+    # P(no_speech) read off the sot position, HF-style silence signal.
+    if no_speech_id is not None:
+        no_speech_prob = jax.nn.softmax(
+            logits_p[:, 0], axis=-1)[:, no_speech_id]
+    else:
+        no_speech_prob = jnp.zeros((b,), jnp.float32)
+
+    token_lp0 = jnp.zeros((b, max_new_tokens), jnp.float32)
+    token_lp0 = token_lp0.at[:, 0].set(first_lp)
+
     tokens = jnp.zeros((b, s_max), dtype=jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
     tokens = tokens.at[:, p].set(first_tok)
@@ -106,6 +119,7 @@ def greedy_decode(
         self_v: jnp.ndarray
         align: jnp.ndarray
         sum_lp: jnp.ndarray
+        token_lp: jnp.ndarray
 
     def cond(c: Carry):
         return (c.step < max_new_tokens) & ~jnp.all(c.done)
@@ -122,16 +136,19 @@ def greedy_decode(
             c.tokens, nxt[:, None], (0, pos + 1))
         new_done = c.done | (nxt == eot)
         new_sum = c.sum_lp + jnp.where(c.done | (nxt == eot), 0.0, lp)
+        new_token_lp = jax.lax.dynamic_update_slice(
+            c.token_lp, jnp.where(c.done, 0.0, lp)[:, None], (0, c.step))
         if capture_alignment:
             new_align = jax.lax.dynamic_update_slice(
                 c.align, align_step[:, :, None, :], (0, 0, pos, 0))
         else:
             new_align = c.align
         return Carry(c.step + 1, new_tokens, new_done,
-                     new_cache.self_k, new_cache.self_v, new_align, new_sum)
+                     new_cache.self_k, new_cache.self_v, new_align, new_sum,
+                     new_token_lp)
 
     init = Carry(jnp.int32(1), tokens, done0, cache.self_k, cache.self_v,
-                 align_buf, sum_lp0)
+                 align_buf, sum_lp0, token_lp0)
     out = jax.lax.while_loop(cond, body, init)
 
     # Count generated tokens per sequence (first EOT position, else max_new).
@@ -141,7 +158,8 @@ def greedy_decode(
     first_eot = jnp.argmax(is_eot, axis=1)
     num_generated = jnp.where(any_eot, first_eot, max_new_tokens).astype(jnp.int32)
 
-    return GreedyResult(out.tokens, num_generated, out.sum_lp, out.align)
+    return GreedyResult(out.tokens, num_generated, out.sum_lp, out.align,
+                        out.token_lp, no_speech_prob)
 
 
 class BeamResult(NamedTuple):

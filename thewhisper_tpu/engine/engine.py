@@ -52,6 +52,8 @@ class EngineResult(NamedTuple):
     sum_logprob: np.ndarray    # (B,)
     align: Optional[np.ndarray]  # (B, A, P+max_new, T_enc) or None
     decode_time_s: float
+    token_logprobs: Optional[np.ndarray] = None  # (B, max_new) greedy only
+    no_speech_prob: Optional[np.ndarray] = None  # (B,) greedy only
 
 
 def _bucket_batch(b: int, buckets: Sequence[int]) -> int:
@@ -145,7 +147,8 @@ class WhisperEngine:
             return greedy_decode(
                 params, arch, prompt, cache, max_new, eot,
                 suppress=suppress, begin_suppress=begin_suppress,
-                capture_alignment=timestamps, compute_dtype=compute_dtype)
+                capture_alignment=timestamps, compute_dtype=compute_dtype,
+                no_speech_id=self.special.no_speech)
 
         fn = jax.jit(program)
         with self._lock:
@@ -213,6 +216,7 @@ class WhisperEngine:
         align = (np.asarray(result.align)
                  if options.return_timestamps and options.num_beams == 1
                  else None)
+        greedy = options.num_beams == 1
         return EngineResult(
             tokens=tokens[:b],
             num_generated=num_gen[:b],
@@ -220,6 +224,10 @@ class WhisperEngine:
             sum_logprob=sum_lp[:b],
             align=align[:b] if align is not None else None,
             decode_time_s=dt,
+            token_logprobs=(np.asarray(result.token_logprobs)[:b]
+                            if greedy else None),
+            no_speech_prob=(np.asarray(result.no_speech_prob)[:b]
+                            if greedy else None),
         )
 
     def detect_language(self, mel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -278,10 +286,12 @@ class WhisperEngine:
         params, arch = load_checkpoint(
             path, dtype=compute_dtype, chunk_length_s=chunk_length_s,
             position_mode=position_mode)
-        if quantize == "int8":
+        if quantize in ("int8", "int8-weights"):
             from thewhisper_tpu.models.quant import quantize_params
 
-            params = quantize_params(params, components=("decoder",))
+            params = quantize_params(
+                params, components=("decoder",),
+                quantize_embedding_table=(quantize == "int8"))
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode: {quantize}")
         suppress: Sequence[int] = ()

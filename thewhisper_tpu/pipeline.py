@@ -154,7 +154,7 @@ class ASRPipeline:
             max_new_tokens=max_new_tokens, language=language, task=task,
             return_timestamps=want_words,
         )
-        seqs, ts_seqs = self._decode_windows(windows, offsets, opts, bsz, want_words)
+        seqs, ts_seqs = self._decode_windows(windows, offsets, opts, bsz, want_words)[:2]
 
         if len(seqs) == 1:
             tokens, token_ts_list = seqs[0], (ts_seqs[0] if want_words else None)
@@ -191,24 +191,27 @@ class ASRPipeline:
             max_new_tokens=max_new_tokens, language=language, task=task,
             return_timestamps=want_words,
         )
-        seqs, ts_seqs = self._decode_windows(
+        seqs, ts_seqs, lp_seqs = self._decode_windows(
             windows, [0] * len(windows), opts, len(windows), want_words,
-            bucket_s=bucket_s)
+            bucket_s=bucket_s, with_logprobs=True)
         return [
             self._format_output(
-                seqs[i], ts_seqs[i] if want_words else None, language, want_words)
+                seqs[i], ts_seqs[i] if want_words else None, language,
+                want_words, token_logprobs=lp_seqs[i])
             for i in range(len(windows))
         ]
 
     # -- shared internals ----------------------------------------------------
 
     def _decode_windows(self, windows, offsets, opts, bsz, want_words,
-                        bucket_s: Optional[float] = None):
+                        bucket_s: Optional[float] = None,
+                        with_logprobs: bool = False):
         """Run windows through the engine -> per-window (ids, (start,end))."""
         featurizer = (self.featurizer if bucket_s is None
                       else self._featurizer_for(bucket_s))
         seqs: List[List[int]] = []
         ts_seqs: List[List[Tuple[Optional[float], Optional[float]]]] = []
+        lp_seqs: List[List[float]] = []
         win = max((len(w) for w in windows), default=0)
         win = max(win, 1)
         for start in range(0, len(windows), bsz):
@@ -226,9 +229,17 @@ class ASRPipeline:
                 )
             for bi in range(len(batch)):
                 n = int(res.num_generated[bi])
-                ids = res.tokens[bi, p: p + n].tolist()
-                ids = [t for t in ids if t < self.engine.special.eot]
+                raw = res.tokens[bi, p: p + n].tolist()
+                keep = [j for j, t in enumerate(raw)
+                        if t < self.engine.special.eot]
+                ids = [raw[j] for j in keep]
                 seqs.append(ids)
+                if with_logprobs:
+                    if res.token_logprobs is not None:
+                        lp_seqs.append(
+                            [float(res.token_logprobs[bi, j]) for j in keep])
+                    else:
+                        lp_seqs.append([0.0] * len(ids))
                 if want_words:
                     offset_s = offsets[start + bi] / SAMPLE_RATE
                     ts: List[Tuple[Optional[float], Optional[float]]] = []
@@ -240,9 +251,10 @@ class ASRPipeline:
                             t1 = None
                         ts.append((t0, t1))
                     ts_seqs.append(ts)
-        return seqs, ts_seqs
+        return seqs, ts_seqs, lp_seqs
 
-    def _format_output(self, tokens, token_ts_list, language, want_words):
+    def _format_output(self, tokens, token_ts_list, language, want_words,
+                       token_logprobs: Optional[List[float]] = None):
         out: Dict[str, Any] = {"text": self._decode(tokens)}
         if want_words:
             words, _, indices = combine_tokens_into_words(
@@ -253,7 +265,13 @@ class ASRPipeline:
             for w, idx in zip(words, indices):
                 start_t = token_ts_list[idx[0]][0]
                 end_t = token_ts_list[idx[-1]][1]
-                chunks.append({"text": w, "timestamp": (start_t, end_t)})
+                chunk: Dict[str, Any] = {"text": w, "timestamp": (start_t, end_t)}
+                if token_logprobs is not None:
+                    lps = [token_logprobs[j] for j in idx
+                           if j < len(token_logprobs)]
+                    if lps:
+                        chunk["confidence"] = float(np.exp(np.mean(lps)))
+                chunks.append(chunk)
             out["chunks"] = chunks
         return out
 
