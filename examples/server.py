@@ -43,6 +43,18 @@ def main():
         if not model:
             raise SystemExit("set ASR_MODEL to an HF checkpoint directory")
         asr = ASRPipeline(model, chunk_length_s=config.chunk_length_s)
+
+        if os.getenv("ASR_WARMUP", "1") != "0":
+            import numpy as np
+
+            print("Warming up (compiling the decode executable)...")
+            asr.transcribe_batch(
+                [np.zeros(int((config.chunk_length_s - 1) * 16000),
+                          np.float32)],
+                return_timestamps="word",
+                generate_kwargs={"max_new_tokens": 128, "language": "en"})
+            print("Warmup done")
+
         transcriber = BatchedTranscriber(asr)
 
         def backend_factory():
