@@ -30,5 +30,24 @@ __all__ = [
     "WhisperArch",
     "GenerationOptions",
     "SpecialTokens",
+    "ASRPipeline",
+    "StreamingPipeline",
+    "WhisperEngine",
     "__version__",
 ]
+
+
+def __getattr__(name):  # lazy top-level conveniences (avoid import cycles)
+    if name == "ASRPipeline":
+        from thewhisper_tpu.pipeline import ASRPipeline
+
+        return ASRPipeline
+    if name == "StreamingPipeline":
+        from thewhisper_tpu.streaming import StreamingPipeline
+
+        return StreamingPipeline
+    if name == "WhisperEngine":
+        from thewhisper_tpu.engine import WhisperEngine
+
+        return WhisperEngine
+    raise AttributeError(name)

@@ -95,6 +95,20 @@ class WhisperEngine:
             if len(begin_suppress_tokens) else None)
         self._jit_cache: Dict[Tuple, Any] = {}
         self._lock = threading.Lock()
+        # Persistent XLA compile cache: generate-program compiles take
+        # minutes cold; warm restarts reload them in seconds. Opt out with
+        # WHISPER_PERSISTENT_CACHE=0.
+        import os
+
+        if os.environ.get("WHISPER_PERSISTENT_CACHE", "1") != "0":
+            try:
+                from thewhisper_tpu.utils.profiling import (
+                    enable_compilation_cache,
+                )
+
+                enable_compilation_cache()
+            except Exception:
+                pass
         # Wall-clock accumulator, parity with the reference's
         # ``total_time_worked`` (apple/model.py:59,80-89).
         self.total_time_worked = 0.0

@@ -234,6 +234,13 @@ def encoder_forward(
 
     x = jnp.transpose(x, (0, 2, 1))                     # (B, T, d)
     t = x.shape[1]
+    n_pos = enc["pos_emb"].shape[0]
+    if t > n_pos:
+        raise ValueError(
+            f"mel input produces {t} encoder positions but the loaded "
+            f"position table has {n_pos} — the featurizer chunk length "
+            f"exceeds the checkpoint's (interpolated/truncated) "
+            f"max_source_positions")
     x = x + enc["pos_emb"][:t].astype(compute_dtype)
 
     n_heads = arch.encoder_heads
