@@ -131,3 +131,82 @@ def test_batched_transcriber_coalesces():
     # Open word end clamped using MAX_WORD_DURATION against 1 s audio.
     w = results[0][0]
     assert w["start"] == 10.0 and w["end"] == 11.0
+
+
+def test_stats_endpoint(server):
+    import httpx
+
+    base = f"http://127.0.0.1:{server.port}"
+    sid = httpx.post(f"{base}/session/create/").json()["session_id"]
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        chunk = (0.1 * rng.standard_normal(1600)).astype(np.float32)
+        httpx.post(f"{base}/session/{sid}/add_chunk",
+                   params={"audio_data": _b64(chunk)})
+        httpx.post(f"{base}/session/{sid}/process")
+    stats = httpx.get(f"{base}/stats").json()
+    assert stats["sessions"] >= 1
+    assert stats["totals"]["chunks_processed"] >= 1
+    assert sid in stats["per_session"]
+
+
+def test_concurrent_sessions_with_real_model(tmp_path_factory):
+    """BASELINE config #5: N concurrent streams, batched decode, real model."""
+    import sys
+    import httpx
+
+    sys.path.insert(0, "tools")
+    from make_tiny_checkpoint import make_checkpoint
+
+    import jax.numpy as jnp
+
+    from thewhisper_tpu.pipeline import ASRPipeline
+    from thewhisper_tpu.streaming.batching import BatchedTranscriber
+
+    ckpt = tmp_path_factory.mktemp("srv_ckpt") / "tiny"
+    make_checkpoint(str(ckpt), seed=0)
+    asr = ASRPipeline(str(ckpt), chunk_length_s=10, compute_dtype=jnp.float32)
+    transcriber = BatchedTranscriber(asr, max_batch=4, max_wait_ms=20)
+    manager = SessionManager(lambda: transcriber.backend(),
+                             chunk_length_s=10, use_vad=False)
+    srv = StreamingServer(manager, ServerConfig(host="127.0.0.1", port=0))
+    srv.start_background()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def drive(seed):
+        sid = httpx.post(f"{base}/session/create/").json()["session_id"]
+        rng = np.random.default_rng(seed)
+        events = 0
+        for _ in range(30):  # 3 s at 0.1 s chunks
+            chunk = (0.2 * rng.standard_normal(1600)).astype(np.float32)
+            r = httpx.post(f"{base}/session/{sid}/add_chunk",
+                           params={"audio_data": _b64(chunk)}, timeout=120)
+            assert r.status_code == 200
+            r = httpx.post(f"{base}/session/{sid}/process", timeout=300)
+            assert r.status_code == 200
+            payload = r.json()
+            events += len(payload["words"]) + len(payload["uncommited_words"])
+        httpx.post(f"{base}/session/{sid}/end")
+        return events
+
+    try:
+        results = []
+        errors = []
+
+        def worker(seed):
+            try:
+                results.append(drive(seed))
+            except Exception as e:  # surface thread failures to the test
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(s,))
+                   for s in (1, 2, 3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        assert len(results) == 3
+    finally:
+        srv.shutdown()
+        transcriber.close()

@@ -99,6 +99,21 @@ class SessionManager:
         with self._global:
             return len(self._sessions)
 
+    def stats(self) -> Dict[str, Any]:
+        """Aggregated per-stage timing over live sessions (observability)."""
+        with self._global:
+            sessions = dict(self._sessions)
+        per_session = {}
+        totals = {"vad_s": 0.0, "transcribe_s": 0.0, "postprocess_s": 0.0,
+                  "chunks_processed": 0}
+        for sid, pipe in sessions.items():
+            st = dict(getattr(pipe, "stats", {}))
+            per_session[sid] = st
+            for k in totals:
+                totals[k] += st.get(k, 0)
+        return {"sessions": len(sessions), "totals": totals,
+                "per_session": per_session}
+
 
 def _make_handler(manager: SessionManager):
     class Handler(BaseHTTPRequestHandler):
@@ -122,8 +137,11 @@ def _make_handler(manager: SessionManager):
             self._send(200, {})
 
         def do_GET(self):
-            if urlparse(self.path).path in ("/health", "/health/"):
+            path = urlparse(self.path).path
+            if path in ("/health", "/health/"):
                 self._send(200, {"status": "ok", "sessions": manager.n_sessions})
+            elif path in ("/stats", "/stats/"):
+                self._send(200, manager.stats())
             else:
                 self._send(404, {"detail": "not found"})
 
