@@ -112,3 +112,14 @@ def test_latency_buckets(tiny_pipeline):
         [_audio(2.8, seed=10)], generate_kwargs={"max_new_tokens": 4,
                                                  "language": "en"})
     assert base[0]["text"] == bucketed[0]["text"]
+
+
+def test_pipeline_beam_word_timestamps(tiny_pipeline):
+    out = tiny_pipeline(
+        _audio(2.0, seed=5), return_timestamps="word",
+        generate_kwargs={"max_new_tokens": 6, "language": "en",
+                         "num_beams": 3})
+    assert isinstance(out["text"], str)
+    for ch in out["chunks"]:
+        s, e = ch["timestamp"]
+        assert s is not None and (e is None or e >= s)

@@ -181,3 +181,29 @@ def test_int8_weights_only_mode(tiny_ckpt_path=None):
                           quantize_embedding_table=False)
     assert is_quantized(q_full["decoder"]["token_emb"])
     assert not is_quantized(q_w["decoder"]["token_emb"])
+
+
+def test_beam_word_timestamps(tiny):
+    """Beam search with alignment capture: the best beam's attention rows
+    follow its own parent chain (on-device beam_indices reindexing)."""
+    arch, params = tiny
+    eng = WhisperEngine(params, arch, special=SP, batch_buckets=(1,))
+    mel = np.random.default_rng(8).standard_normal((1, 80, 100)).astype(np.float32)
+    res = eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=6, language="en", num_beams=3,
+                               return_timestamps=True))
+    assert res.align is not None
+    assert res.align.shape == (1, 1, 4 + 6, 50)
+    # Rows for the prompt and generated positions are probability rows.
+    n = int(res.num_generated[0])
+    rows = res.align[0, 0, :4 + max(n - 1, 0)]
+    sums = rows.sum(-1)
+    assert np.all(np.abs(sums - 1.0) < 2e-2), sums
+
+    # DTW path runs on it end to end.
+    from thewhisper_tpu.align import token_timestamps_from_alignment
+
+    rows_used = 4 + max(n - 1, 1)
+    ts = token_timestamps_from_alignment(
+        res.align, np.asarray([rows_used]), num_frames=100)
+    assert (np.diff(ts[0][: rows_used + 1]) >= 0).all()

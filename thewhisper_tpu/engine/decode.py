@@ -167,6 +167,7 @@ class BeamResult(NamedTuple):
     num_generated: jnp.ndarray  # (B,) int32
     sum_logprob: jnp.ndarray   # (B,) f32 of the selected beam
     all_tokens: jnp.ndarray    # (B, K, P + max_new) every beam (debug/nbest)
+    align: jnp.ndarray         # (B, A, P + max_new, T_enc) best beam; zeros if off
 
 
 def beam_decode(
@@ -181,22 +182,33 @@ def beam_decode(
     begin_suppress: Optional[jnp.ndarray] = None,
     length_penalty: float = 1.0,
     compute_dtype: jnp.dtype = jnp.float32,
+    capture_alignment: bool = False,
 ) -> BeamResult:
     """Batched beam search fully on device (HF defaults: length_penalty 1.0).
 
-    The cache carries B*K rows; each step gathers cache/token state by the
-    selected parent beams (``jnp.take`` along the batch axis). Alignment
-    capture is not supported under beams (the eval protocol is greedy;
-    word timestamps use the greedy path).
+    The cache carries B*K rows; each step gathers cache/token/alignment
+    state by the selected parent beams (``jnp.take`` along the batch axis) —
+    the on-device analog of HF's post-hoc ``beam_indices`` reindexing
+    (reference ``apple/model.py:747-783``).
     """
     b, p = prompt.shape
     k = num_beams
     v = arch.vocab_size
     s_max = p + max_new_tokens
+    t_enc = cache.cross_k.shape[4]
+    n_align = max(1, len(arch.alignment_heads))
 
     flat_prompt = jnp.tile(prompt[:, None, :], (1, k, 1)).reshape(b * k, p)
-    logits_p, cache, _ = decoder_prefill(
+    logits_p, cache, align_p = decoder_prefill(
         params, flat_prompt, cache, arch, compute_dtype)
+
+    if capture_alignment:
+        # (B*K, A, S_max, T): gathered by parent beam alongside the cache.
+        align_buf = jnp.zeros((b * k, n_align, s_max, t_enc), jnp.float32)
+        align_buf = jax.lax.dynamic_update_slice(
+            align_buf, jnp.transpose(align_p, (0, 2, 1, 3)), (0, 0, 0, 0))
+    else:
+        align_buf = jnp.zeros((b * k, 1, 1, 1), jnp.float32)
 
     def step_logprobs(step_logits, is_first, done):
         x = step_logits
@@ -229,6 +241,7 @@ def beam_decode(
         jnp.take(cache.self_k, rows, axis=1),
         jnp.take(cache.self_v, rows, axis=1),
         cache.cross_k, cache.cross_v)
+    align_buf = jnp.take(align_buf, rows, axis=0)
     done = tok == eot
     sum_lp = new_sum
 
@@ -241,6 +254,7 @@ def beam_decode(
         self_k: jnp.ndarray
         self_v: jnp.ndarray
         sum_lp: jnp.ndarray
+        align: jnp.ndarray
 
     def cond(c):
         return (c.step < max_new_tokens) & ~jnp.all(c.done)
@@ -250,8 +264,13 @@ def beam_decode(
         last = jax.lax.dynamic_slice(
             c.tokens.reshape(b * k, s_max), (0, pos), (b * k, 1))
         step_cache = DecodeCache(c.self_k, c.self_v, cross_k_const, cross_v_const)
-        logits, new_cache, _ = decoder_step(
+        logits, new_cache, align_step = decoder_step(
             params, last, pos.astype(jnp.int32), step_cache, arch, compute_dtype)
+        if capture_alignment:
+            align1 = jax.lax.dynamic_update_slice(
+                c.align, align_step[:, :, None, :], (0, 0, pos, 0))
+        else:
+            align1 = c.align
         logp = step_logprobs(logits, jnp.bool_(False), c.done)
         cand = (c.sum_lp[:, :, None] + logp).reshape(b, k * v)
         new_sum, idx = jax.lax.top_k(cand, k)
@@ -263,13 +282,17 @@ def beam_decode(
         toks = jax.lax.dynamic_update_slice(
             toks, tok[:, :, None], (0, 0, pos + 1))
         new_done = jnp.take(c.done.reshape(-1), rows).reshape(b, k) | (tok == eot)
+        new_align = (jnp.take(align1, rows, axis=0) if capture_alignment
+                     else align1)
         return Carry(c.step + 1, toks, new_done,
                      jnp.take(new_cache.self_k, rows, axis=1),
-                     jnp.take(new_cache.self_v, rows, axis=1), new_sum)
+                     jnp.take(new_cache.self_v, rows, axis=1), new_sum,
+                     new_align)
 
     out = jax.lax.while_loop(
         cond, body,
-        Carry(jnp.int32(1), tokens, done, cache.self_k, cache.self_v, sum_lp))
+        Carry(jnp.int32(1), tokens, done, cache.self_k, cache.self_v, sum_lp,
+              align_buf))
 
     # Per-beam generated length = first EOT position (or max_new).
     gen = out.tokens[:, :, p:]
@@ -282,9 +305,15 @@ def beam_decode(
     best = jnp.argmax(score, axis=-1)                     # (B,)
     bidx = jnp.arange(b)
     best_tokens = out.tokens[bidx, best]
+    if capture_alignment:
+        best_align = jnp.take(
+            out.align, bidx * k + best, axis=0)           # (B, A, S_max, T)
+    else:
+        best_align = jnp.zeros((b, 1, 1, 1), jnp.float32)
     return BeamResult(
         tokens=best_tokens,
         num_generated=lengths[bidx, best].astype(jnp.int32),
         sum_logprob=out.sum_lp[bidx, best],
         all_tokens=out.tokens,
+        align=best_align,
     )

@@ -153,7 +153,8 @@ class WhisperEngine:
                 return beam_decode(
                     params, arch, prompt, cache, num_beams, max_new, eot,
                     suppress=suppress, begin_suppress=begin_suppress,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype,
+                    capture_alignment=timestamps)
             cache = make_cache(
                 arch, batch, prompt_len + max_new,
                 ck.astype(cache_dtype), cv.astype(cache_dtype),
@@ -217,8 +218,7 @@ class WhisperEngine:
 
         fn = self._generate_fn(
             bb, mel.shape[-1], len(prompt), options.max_new_tokens,
-            options.return_timestamps and options.num_beams == 1,
-            num_beams=options.num_beams)
+            options.return_timestamps, num_beams=options.num_beams)
         t0 = time.perf_counter()
         result = fn(self.params, jnp.asarray(mel), prompt_arr)
         tokens = np.asarray(result.tokens)           # blocks until done
@@ -228,8 +228,7 @@ class WhisperEngine:
         num_gen = np.asarray(result.num_generated)
         sum_lp = np.asarray(result.sum_logprob)
         align = (np.asarray(result.align)
-                 if options.return_timestamps and options.num_beams == 1
-                 else None)
+                 if options.return_timestamps else None)
         greedy = options.num_beams == 1
         return EngineResult(
             tokens=tokens[:b],

@@ -138,6 +138,7 @@ class ASRPipeline:
         language = gk.pop("language", None) or self.language
         max_new_tokens = int(gk.pop("max_new_tokens", 224))
         task = gk.pop("task", "transcribe")
+        num_beams = int(gk.pop("num_beams", 1))
         want_words = return_timestamps == "word"
 
         win_s = float(chunk_length_s or self.model_chunk_length_s)
@@ -152,7 +153,7 @@ class ASRPipeline:
 
         opts = GenerationOptions(
             max_new_tokens=max_new_tokens, language=language, task=task,
-            return_timestamps=want_words,
+            return_timestamps=want_words, num_beams=num_beams,
         )
         seqs, ts_seqs = self._decode_windows(windows, offsets, opts, bsz, want_words)[:2]
 
@@ -182,6 +183,7 @@ class ASRPipeline:
         language = gk.pop("language", None) or self.language
         max_new_tokens = int(gk.pop("max_new_tokens", 128))
         task = gk.pop("task", "transcribe")
+        num_beams = int(gk.pop("num_beams", 1))
         want_words = return_timestamps == "word"
         win = int(self.model_chunk_length_s * SAMPLE_RATE)
         windows = [np.asarray(a, np.float32).reshape(-1)[:win] for a in audios]
@@ -189,7 +191,7 @@ class ASRPipeline:
             max((len(w) for w in windows), default=0) / SAMPLE_RATE)
         opts = GenerationOptions(
             max_new_tokens=max_new_tokens, language=language, task=task,
-            return_timestamps=want_words,
+            return_timestamps=want_words, num_beams=num_beams,
         )
         seqs, ts_seqs, lp_seqs = self._decode_windows(
             windows, [0] * len(windows), opts, len(windows), want_words,
