@@ -207,3 +207,23 @@ def test_beam_word_timestamps(tiny):
     ts = token_timestamps_from_alignment(
         res.align, np.asarray([rows_used]), num_frames=100)
     assert (np.diff(ts[0][: rows_used + 1]) >= 0).all()
+
+
+def test_int8_cross_kv_cache(tiny):
+    """cross_kv_int8 engine matches the bf16-cache engine closely."""
+    arch, params = tiny
+    base = WhisperEngine(params, arch, special=SP, batch_buckets=(1,))
+    q_eng = WhisperEngine(params, arch, special=SP, batch_buckets=(1,),
+                          cross_kv_int8=True)
+    mel = np.random.default_rng(9).standard_normal((1, 80, 100)).astype(np.float32)
+    opts = GenerationOptions(max_new_tokens=6, language="en",
+                             return_timestamps=True)
+    r0 = base.transcribe_features(mel, opts)
+    r1 = q_eng.transcribe_features(mel, opts)
+    # Same greedy tokens on a random model; alignment close.
+    np.testing.assert_array_equal(r0.tokens, r1.tokens)
+    assert np.abs(r1.align - r0.align).max() < 0.05
+    # Beam path also runs with the quantized cache.
+    rb = q_eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=6, language="en", num_beams=3))
+    assert rb.tokens.shape == r0.tokens.shape

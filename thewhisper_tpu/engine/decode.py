@@ -61,7 +61,8 @@ def greedy_decode(
 ) -> GreedyResult:
     b, p = prompt.shape
     s_max = p + max_new_tokens
-    t_enc = cache.cross_k.shape[4]
+    ck = cache.cross_k
+    t_enc = (ck["q"] if isinstance(ck, dict) else ck).shape[4]
     n_align = max(1, len(arch.alignment_heads))
     v = arch.vocab_size
 
@@ -195,7 +196,8 @@ def beam_decode(
     k = num_beams
     v = arch.vocab_size
     s_max = p + max_new_tokens
-    t_enc = cache.cross_k.shape[4]
+    ck = cache.cross_k
+    t_enc = (ck["q"] if isinstance(ck, dict) else ck).shape[4]
     n_align = max(1, len(arch.alignment_heads))
 
     flat_prompt = jnp.tile(prompt[:, None, :], (1, k, 1)).reshape(b * k, p)

@@ -80,12 +80,14 @@ class WhisperEngine:
         begin_suppress_tokens: Sequence[int] = (),
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         cache_dtype: Optional[jnp.dtype] = None,
+        cross_kv_int8: bool = False,
     ):
         self.arch = arch
         self.special = special or SpecialTokens.for_vocab(arch.vocab_size)
         self.compute_dtype = compute_dtype
         self.cache_dtype = cache_dtype or compute_dtype
         self.batch_buckets = tuple(batch_buckets)
+        self.cross_kv_int8 = cross_kv_int8
         self.params = jax.device_put(params)
         self._suppress = (
             jnp.asarray(suppress_mask(arch.vocab_size, suppress_tokens))
@@ -139,25 +141,36 @@ class WhisperEngine:
         suppress = self._suppress
         begin_suppress = self._begin_suppress
 
+        cross_kv_int8 = self.cross_kv_int8
+
         def program(params, mel, prompt):
             enc = encoder_forward(params, mel, arch, compute_dtype)
             ck, cv = compute_cross_kv(params, enc, arch)
+            if cross_kv_int8:
+                from thewhisper_tpu.models.quant import quantize_kv
+
+                ck, cv = quantize_kv(ck), quantize_kv(cv)
             if num_beams > 1:
                 # Tile cross KV per beam; self cache rows are B*K.
-                ck_b = jnp.repeat(ck, num_beams, axis=1)
-                cv_b = jnp.repeat(cv, num_beams, axis=1)
+                rep = lambda t: jax.tree.map(
+                    lambda x: jnp.repeat(x, num_beams, axis=1), t)
+                ck_b, cv_b = rep(ck), rep(cv)
+                if not cross_kv_int8:
+                    ck_b = ck_b.astype(cache_dtype)
+                    cv_b = cv_b.astype(cache_dtype)
                 cache = make_cache(
                     arch, batch * num_beams, prompt_len + max_new,
-                    ck_b.astype(cache_dtype), cv_b.astype(cache_dtype),
-                    dtype=cache_dtype)
+                    ck_b, cv_b, dtype=cache_dtype)
                 return beam_decode(
                     params, arch, prompt, cache, num_beams, max_new, eot,
                     suppress=suppress, begin_suppress=begin_suppress,
                     compute_dtype=compute_dtype,
                     capture_alignment=timestamps)
+            if not cross_kv_int8:
+                ck = ck.astype(cache_dtype)
+                cv = cv.astype(cache_dtype)
             cache = make_cache(
-                arch, batch, prompt_len + max_new,
-                ck.astype(cache_dtype), cv.astype(cache_dtype),
+                arch, batch, prompt_len + max_new, ck, cv,
                 dtype=cache_dtype)
             return greedy_decode(
                 params, arch, prompt, cache, max_new, eot,

@@ -99,3 +99,23 @@ def quantized_bytes(params: Dict[str, Any]) -> int:
     for leaf in jax.tree.leaves(params):
         total += leaf.size * leaf.dtype.itemsize
     return total
+
+
+def quantize_kv(x: "jnp.ndarray") -> Dict[str, Any]:
+    """On-device per-(layer, batch, head, channel) int8 for a feature-major
+    KV cache (L, B, H, dh, T).
+
+    The scale reduces over the sequence axis only, so it folds OUT of the
+    attention contractions: for K, into the query (``q * s_k``); for V,
+    into the attention output (``out * s_v``) — nothing dequantized ever
+    materializes in HBM if XLA fuses the int8->bf16 convert into the dot.
+    Computed once per audio window at prefill; at bs=32 the cross KV is the
+    largest per-token HBM read (983 MB bf16 -> 492 MB int8). NOTE: measured
+    speedups are environment-dependent (convert fusion is not guaranteed);
+    this stays opt-in (``WhisperEngine(cross_kv_int8=True)``) until
+    profiled on directly-attached hardware.
+    """
+    s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}

@@ -333,15 +333,27 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cross_and_mlp(h, lp, n_heads, cross_k, cross_v, align_sel):
-    """Shared cross-attention + MLP tail of a decoder layer."""
+    """Shared cross-attention + MLP tail of a decoder layer.
+
+    ``cross_k``/``cross_v`` may be int8 dicts from ``models.quant
+    .quantize_kv``: the K scale folds into the query and the V scale into
+    the attention output, keeping the dots int8-fed.
+    """
     b, sq, _ = h.shape
     c_in = _layer_norm(h, lp["ln_cross"]["scale"], lp["ln_cross"]["bias"])
     cq = jnp.transpose(
         _split_heads(_linear(c_in, lp["cross"]["q_w"], lp["cross"]["q_b"]),
                      n_heads), (0, 2, 1, 3))
-    c, probs = _attn_feature_major(
-        cq, cross_k.astype(cq.dtype), cross_v.astype(cq.dtype), None,
-        return_probs=True)
+    if isinstance(cross_k, dict):
+        cq_eff = cq * cross_k["s"][:, :, None, :].astype(cq.dtype)
+        c, probs = _attn_feature_major(
+            cq_eff, cross_k["q"].astype(cq.dtype),
+            cross_v["q"].astype(cq.dtype), None, return_probs=True)
+        c = c * cross_v["s"][:, :, None, :].astype(c.dtype)
+    else:
+        c, probs = _attn_feature_major(
+            cq, cross_k.astype(cq.dtype), cross_v.astype(cq.dtype), None,
+            return_probs=True)
     align = jnp.einsum("bhqk,ha->bqak", probs, align_sel)
     h = h + _linear(_merge_heads(c), lp["cross"]["o_w"], lp["cross"]["o_b"])
     h = h + _mlp(_layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"]), lp["mlp"])
