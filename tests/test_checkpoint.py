@@ -133,3 +133,30 @@ def test_end_to_end_greedy_parity_with_torch(tiny_ckpt):
     n = min(len(ref), int(res.num_generated[0]) + 1)
     ours = res.tokens[0, res.prompt_len: res.prompt_len + n]
     np.testing.assert_array_equal(ours, ref[:n])
+
+
+def test_full_hf_pipeline_transcript_parity(tiny_ckpt):
+    """The strongest offline parity check: HF's own ASR pipeline (torch
+    feature extractor + generate + decode) and our TPU pipeline produce the
+    IDENTICAL transcript for the same checkpoint and audio."""
+    import warnings
+
+    import torch
+    import jax.numpy as jnp
+    from transformers import pipeline as hf_pipeline
+
+    from thewhisper_tpu.pipeline import ASRPipeline
+
+    hf = hf_pipeline("automatic-speech-recognition", model=tiny_ckpt,
+                     device="cpu", dtype=torch.float32)
+    audio = (0.2 * np.sin(2 * np.pi * 260 * np.arange(64000) / 16000)
+             ).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = hf(audio.copy(), generate_kwargs={
+            "language": "en", "task": "transcribe", "num_beams": 1,
+            "do_sample": False, "max_new_tokens": 10})
+
+    ours = ASRPipeline(tiny_ckpt, chunk_length_s=30, compute_dtype=jnp.float32)
+    out = ours(audio, generate_kwargs={"max_new_tokens": 10, "language": "en"})
+    assert out["text"] == ref["text"]

@@ -167,9 +167,30 @@ def build_model(out_dir: str, seed: int = 0) -> None:
         "eos_token_id": 50257,
         "pad_token_id": 50256,
         "max_length": 448,
+        "is_multilingual": True,
+        "lang_to_id": {f"<|{lang}|>": 50259 + i
+                       for i, lang in enumerate(LANGUAGES_100)},
+        "task_to_id": {"translate": 50359, "transcribe": 50360},
+        "no_timestamps_token_id": 50364,
     }
     with open(os.path.join(out_dir, "generation_config.json"), "w") as f:
         json.dump(gen_cfg, f, indent=2)
+    # Feature-extractor config so HF's ASR pipeline can load the directory.
+    with open(os.path.join(out_dir, "preprocessor_config.json"), "w") as f:
+        json.dump({
+            "feature_extractor_type": "WhisperFeatureExtractor",
+            "feature_size": 128,
+            "sampling_rate": 16000,
+            "hop_length": 160,
+            "n_fft": 400,
+            "chunk_length": 30,
+            "n_samples": 480000,
+            "nb_max_frames": 3000,
+            "padding_side": "right",
+            "padding_value": 0.0,
+            "processor_class": "WhisperProcessor",
+            "return_attention_mask": False,
+        }, f, indent=2)
 
 
 def make_checkpoint(out_dir: str, seed: int = 0) -> str:
