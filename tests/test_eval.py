@@ -126,3 +126,11 @@ def test_manifest_loader(tmp_path):
     samples = list(data_utils.load_manifest(
         str(manifest), max_duration_s=1.5))
     assert len(samples) == 1
+
+
+def test_english_normalizer_decimals():
+    n = EnglishTextNormalizer()
+    assert n("three point one four") == "3.14"
+    assert n("twenty two point five percent") == "22.5 percent"
+    # "point" without a preceding number stays a word.
+    assert n("the point is clear") == "the point is clear"

@@ -191,3 +191,55 @@ def test_gibberish_filter():
     out = be.transcribe(np.zeros(32000, np.float32), 0.0, 16000)
     assert out == []
     assert compression_ratio("abcdefgh12345") < 2.2
+
+
+def test_long_stream_soak_with_vad_and_real_model(tmp_path_factory):
+    """60 s of alternating speech/silence through EnergyVAD + tiny model:
+    the full streaming stack (VAD gating, trims, commits, gibberish
+    filtering) stays consistent over a long session."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from make_tiny_checkpoint import make_checkpoint
+
+    import jax.numpy as jnp
+
+    from thewhisper_tpu.pipeline import ASRPipeline
+    from thewhisper_tpu.streaming.pipeline import LocalWhisperBackend
+
+    ckpt = tmp_path_factory.mktemp("soak") / "tiny"
+    make_checkpoint(str(ckpt), seed=0)
+    asr = ASRPipeline(str(ckpt), chunk_length_s=10, compute_dtype=jnp.float32)
+    backend = LocalWhisperBackend(asr, chunk_length_s=10, max_new_tokens=8)
+
+    sp = StreamingPipeline(backend=backend, chunk_length_s=10, use_vad=True)
+    rng = np.random.default_rng(0)
+    sr = 16000
+    t_total = 0.0
+    commits = []
+    # 60 s: 5 s speech-like bursts alternating with 5 s near-silence.
+    for block in range(12):
+        speech = block % 2 == 0
+        amp = 0.3 if speech else 0.0005
+        for _ in range(100):  # 0.05 s chunks
+            chunk = (amp * rng.standard_normal(800)).astype(np.float32)
+            if speech:
+                chunk += 0.2 * np.sin(
+                    2 * np.pi * 300 * (t_total + np.arange(800) / sr)
+                ).astype(np.float32)
+            c, a = sp(chunk)
+            commits.extend(c)
+            t_total += 0.05
+
+    # The buffer respects the rolling-window bound throughout.
+    max_allowed = (sp.window_size) * sr
+    assert len(sp._buffer) <= max_allowed
+    # Time bookkeeping is consistent: committed words never exceed the
+    # stream clock and are monotonically ordered.
+    starts = [w["start"] for w in commits]
+    assert all(s <= sp.current_time + 1e-6 for s in starts)
+    assert all(starts[i] <= starts[i + 1] + 1e-6 for i in range(len(starts) - 1))
+    # VAD actually gated: far fewer transcriptions than chunks.
+    assert 0 < sp.stats["chunks_processed"] < 1200
+    sp.clear()
+    assert sp.current_audio_buffer is None

@@ -140,11 +140,24 @@ _ORDINALS = {
 
 
 def _normalize_numbers(words: List[str]) -> List[str]:
-    """Collapse number-word runs into digits ("twenty two" -> "22")."""
+    """Collapse number-word runs into digits ("twenty two" -> "22",
+    "three point one four" -> "3.14")."""
     out: List[str] = []
     i = 0
     while i < len(words):
         w = words[i]
+        # Decimal tails: <number> point <digit words...>
+        if (w == "point" and out and out[-1].isdigit()
+                and i + 1 < len(words) and words[i + 1] in _ONES
+                and _ONES[words[i + 1]] <= 9):
+            digits = []
+            j = i + 1
+            while j < len(words) and words[j] in _ONES and _ONES[words[j]] <= 9:
+                digits.append(str(_ONES[words[j]]))
+                j += 1
+            out[-1] = out[-1] + "." + "".join(digits)
+            i = j
+            continue
         if w in _ONES or w in _TENS:
             value = 0
             current = 0
