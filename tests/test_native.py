@@ -97,3 +97,38 @@ def test_streaming_pipeline_buffer_still_behaves():
     assert sp.stats["transcribe_s"] > 0
     sp.clear()
     assert sp.current_audio_buffer is None
+
+
+def test_native_resampler(lib):
+    from thewhisper_tpu.native_lib import resample_linear_native
+
+    t = np.arange(8000, dtype=np.float32) / 8000.0
+    sig = np.sin(2 * np.pi * 5 * t).astype(np.float32)
+    up = resample_linear_native(sig, 2.0)
+    assert up is not None
+    assert abs(len(up) - 16000) <= 2
+    # A 5 Hz sine survives 2x linear upsampling nearly exactly.
+    t2 = np.arange(len(up), dtype=np.float32) / 16000.0
+    ref = np.sin(2 * np.pi * 5 * t2).astype(np.float32)
+    assert np.abs(up - ref[: len(up)]).max() < 5e-3
+
+    down = resample_linear_native(sig, 0.5)
+    assert abs(len(down) - 4000) <= 2
+
+
+def test_profiling_trace_and_annotation(tmp_path):
+    import jax.numpy as jnp
+
+    from thewhisper_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path / "trace")):
+        with annotate("tiny-op"):
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+    # A profile directory with content was produced.
+    import os
+
+    produced = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(tmp_path / "trace") for f in files
+    ]
+    assert produced

@@ -79,7 +79,13 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
         g = np.gcd(int(orig_sr), int(target_sr))
         out = _resample_poly(audio.astype(np.float64), target_sr // g, orig_sr // g)
         return out.astype(np.float32)
-    # Fallback: linear interpolation.
+    # Fallbacks without scipy: the C++ host runtime, then pure numpy.
+    from thewhisper_tpu.native_lib import resample_linear_native
+
+    native = resample_linear_native(
+        np.asarray(audio, np.float32), target_sr / orig_sr)
+    if native is not None:
+        return native
     n_out = int(round(len(audio) * target_sr / orig_sr))
     t = np.linspace(0.0, len(audio) - 1.0, n_out)
     return np.interp(t, np.arange(len(audio)), audio).astype(np.float32)

@@ -119,6 +119,21 @@ def edit_stats_native(ref_ids: np.ndarray, hyp_ids: np.ndarray):
             "ref_len": len(ref_ids), "hyp_len": len(hyp_ids)}
 
 
+def resample_linear_native(audio: np.ndarray, ratio: float):
+    """Native linear resampler; None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    audio = np.ascontiguousarray(audio, dtype=np.float32)
+    out_cap = int(len(audio) * ratio + 2)
+    out = np.empty(out_cap, dtype=np.float32)
+    n = lib.whisper_resample_linear(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(audio),
+        ctypes.c_double(ratio),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out_cap)
+    return out[:n]
+
+
 class RingBuffer:
     """Growable float32 audio ring buffer over the native core.
 
