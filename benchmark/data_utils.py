@@ -43,26 +43,54 @@ OPEN_ASR_EN_TASKS = [
      "config": "ami", "split": "test", "text_key": "text"},
 ]
 
-MULTILINGUAL_LANGS = ["de", "fr", "it", "es", "pt", "en", "ru", "ar", "hi", "id"]
+# Language set of the reference multilingual protocol
+# (reference data_utils.py:347,364,381: fr/it/es/pt/de across all three).
+MULTILINGUAL_LANGS = ["fr", "it", "es", "pt", "de"]
+
+# Correct dataset config names per language. The generated-looking forms
+# ("es_es", two-letter MLS codes) DO NOT EXIST upstream — these maps are
+# pinned by tests/test_eval.py::test_multilingual_task_golden so a broken
+# config can never ship again.
+FLEURS_CONFIGS = {
+    "fr": "fr_fr", "it": "it_it", "es": "es_419", "pt": "pt_br",
+    "de": "de_de", "en": "en_us", "ru": "ru_ru", "ar": "ar_eg",
+    "hi": "hi_in", "id": "id_id",
+}
+MLS_CONFIGS = {
+    "fr": "french", "it": "italian", "es": "spanish", "pt": "portuguese",
+    "de": "german", "nl": "dutch", "pl": "polish",
+}
+COVOST2_CONFIGS = {
+    "fr": "fr_en", "it": "it_en", "es": "es_en", "pt": "pt_en",
+    "de": "de_en",
+}
 
 
 def open_asr_multilingual_tasks(langs: Optional[List[str]] = None) -> List[Dict]:
-    """MLS + FLEURS (+ CoVoST2) per language (reference data_utils.py:338-398)."""
-    tasks = []
-    for lang in langs or MULTILINGUAL_LANGS:
-        tasks.append({
-            "name": f"fleurs_{lang}_test", "path": "google/fleurs",
-            "config": f"{lang}_{lang}" if lang != "en" else "en_us",
-            "split": "test", "text_key": "transcription", "language": lang,
-        })
-        if lang in ("de", "fr", "it", "es", "pt", "en"):
-            tasks.append({
-                "name": f"mls_{lang}_test",
-                "path": "facebook/multilingual_librispeech",
-                "config": lang, "split": "test", "text_key": "text",
-                "language": lang,
-            })
-    return tasks
+    """MLS + CoVoST2 + FLEURS tasks (reference data_utils.py:338-398).
+
+    Defaults to the reference's exact five-language protocol in the
+    reference's order (MLS block, then CoVoST2, then FLEURS). Extra
+    languages (en/ru/ar/hi/id...) extend whichever datasets cover them.
+    """
+    langs = list(langs or MULTILINGUAL_LANGS)
+    mls = [{
+        "name": f"mls_{MLS_CONFIGS[lang]}_test",
+        "path": "facebook/multilingual_librispeech",
+        "config": MLS_CONFIGS[lang], "split": "test",
+        "text_key": "transcript", "language": lang,
+    } for lang in langs if lang in MLS_CONFIGS]
+    covost = [{
+        "name": f"covost2_{lang}_test", "path": "fixie-ai/covost2",
+        "config": COVOST2_CONFIGS[lang], "split": "test",
+        "text_key": "sentence", "language": lang,
+    } for lang in langs if lang in COVOST2_CONFIGS]
+    fleurs = [{
+        "name": f"fleurs_{lang}_test", "path": "google/fleurs",
+        "config": FLEURS_CONFIGS[lang], "split": "test",
+        "text_key": "transcription", "language": lang,
+    } for lang in langs if lang in FLEURS_CONFIGS]
+    return mls + covost + fleurs
 
 
 @dataclass

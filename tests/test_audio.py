@@ -30,6 +30,42 @@ def test_wav_roundtrip(tmp_path):
     assert np.max(np.abs(x - y)) < 2.0 / 32768.0
 
 
+def _extensible_wav_bytes(payload: bytes, bits: int, subformat: int,
+                          rate: int = 16000, channels: int = 1) -> bytes:
+    """Hand-build a WAVE_FORMAT_EXTENSIBLE (0xFFFE) file."""
+    import struct
+
+    # {code-0000-0010-8000-00AA00389B71}: 2-byte code + 14-byte tail.
+    guid = struct.pack("<H", subformat) + bytes.fromhex(
+        "0000" "0000" "1000" "800000aa00389b71")
+    fmt = struct.pack(
+        "<HHIIHH", 0xFFFE, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits)
+    fmt += struct.pack("<HHI", 22, bits, 0x4) + guid
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_extensible_wav_int32_pcm_uses_guid():
+    """A 32-bit *integer* PCM extensible WAV must decode as PCM, not float:
+    the SubFormat GUID is authoritative over the bit-depth heuristic."""
+    x = np.array([0.5, -0.25, 0.125], dtype=np.float32)
+    pcm = (x * 2147483647.0).astype("<i4").tobytes()
+    y = load_audio(_extensible_wav_bytes(pcm, 32, subformat=1), sr=16000)
+    np.testing.assert_allclose(y, x, atol=1e-6)
+
+    # And 32-bit float extensible still decodes as float.
+    flt = x.astype("<f4").tobytes()
+    y2 = load_audio(_extensible_wav_bytes(flt, 32, subformat=3), sr=16000)
+    np.testing.assert_allclose(y2, x, atol=1e-7)
+
+    # 16-bit extensible PCM.
+    pcm16 = (x * 32767.0).astype("<i2").tobytes()
+    y3 = load_audio(_extensible_wav_bytes(pcm16, 16, subformat=1), sr=16000)
+    np.testing.assert_allclose(y3, x, atol=1e-4)
+
+
 def test_load_audio_resamples(tmp_path):
     sr_in = 8000
     x = _test_signal(1.0, sr=sr_in)

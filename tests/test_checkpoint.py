@@ -54,6 +54,73 @@ def test_flexible_chunk_position_modes(tiny_ckpt):
         np.asarray(full["encoder"]["pos_emb"][:500]))
 
 
+def test_special_token_ids_match_tokenizer(tiny_ckpt):
+    """Pin every SpecialTokens id to the real tokenizer's vocabulary.
+
+    Regression for the no_speech off-by-one: 50362 is <|startofprev|>;
+    <|nospeech|> is 50363 (= no_timestamps - 1, the HF convention)."""
+    from transformers import WhisperTokenizerFast
+
+    from thewhisper_tpu.config import SpecialTokens
+
+    tok = WhisperTokenizerFast.from_pretrained(tiny_ckpt)
+    sp = SpecialTokens.for_vocab(51866)
+    ids = tok.convert_tokens_to_ids
+    assert sp.eot == ids("<|endoftext|>")
+    assert sp.sot == ids("<|startoftranscript|>")
+    assert sp.first_language == ids("<|en|>")
+    assert sp.translate == ids("<|translate|>")
+    assert sp.transcribe == ids("<|transcribe|>")
+    assert sp.no_speech == ids("<|nospeech|>")
+    assert sp.no_timestamps == ids("<|notimestamps|>")
+    assert sp.timestamp_begin == ids("<|0.00|>")
+    assert sp.no_speech == sp.no_timestamps - 1
+    # 51865-vocab family sits one lower in the same relative layout.
+    sp_old = SpecialTokens.for_vocab(51865)
+    assert sp_old.no_speech == sp_old.no_timestamps - 1 == 50362
+
+
+def test_position_mode_autodetect(tiny_ckpt, tmp_path):
+    """Default position_mode: flexible fine-tune -> truncate, stock HF ->
+    interpolate (what the load_checkpoint docstring promises)."""
+    import jax.numpy as jnp
+
+    from thewhisper_tpu.config import ARCH_PRESETS
+    from thewhisper_tpu.models.checkpoint import save_hf_checkpoint
+    from thewhisper_tpu.models.load import load_checkpoint
+    from thewhisper_tpu.models.whisper import init_params
+
+    # Stock checkpoint (no marker): default must interpolate.
+    p_default, _ = load_checkpoint(tiny_ckpt, chunk_length_s=10,
+                                   dtype=jnp.float32)
+    p_interp, _ = load_checkpoint(tiny_ckpt, chunk_length_s=10,
+                                  position_mode="interpolate",
+                                  dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(p_default["encoder"]["pos_emb"]),
+        np.asarray(p_interp["encoder"]["pos_emb"]))
+
+    # Flexible fine-tune export (chunk_length marker): default must truncate.
+    import dataclasses
+    arch = dataclasses.replace(
+        ARCH_PRESETS["tiny"], vocab_size=51866, n_mels=128)
+    params = init_params(arch, seed=0)
+    flex = str(tmp_path / "flex")
+    save_hf_checkpoint(params, arch, flex, chunk_length_s=10)
+    p_flex, _ = load_checkpoint(flex, chunk_length_s=10, dtype=jnp.float32)
+    full = np.asarray(params["encoder"]["pos_emb"])
+    np.testing.assert_allclose(
+        np.asarray(p_flex["encoder"]["pos_emb"]), full[:500], atol=1e-6)
+
+    # Directory-scheme marker ({N}sec path component) also means flexible.
+    sec_dir = tmp_path / "free" / "S" / "10sec"
+    save_hf_checkpoint(params, arch, str(sec_dir))
+    p_sec, _ = load_checkpoint(str(sec_dir), chunk_length_s=10,
+                               dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(p_sec["encoder"]["pos_emb"]), full[:500], atol=1e-6)
+
+
 def test_pipeline_with_real_checkpoint_and_tokenizer(tiny_ckpt):
     import jax.numpy as jnp
 

@@ -55,6 +55,56 @@ def test_english_normalizer():
     assert n("100% of $5") == "100 percent of 5 dollars"
 
 
+def test_multilingual_task_golden():
+    """Pin every (path, config, split, text_key) to the reference protocol.
+
+    The upstream dataset configs are NOT derivable from language codes
+    (google/fleurs uses es_419/pt_br, MLS uses full names, CoVoST2 uses
+    xx_en pairs) and a wrong tuple only fails at network time — this golden
+    list is the offline guard (reference data_utils.py:338-398).
+    """
+    import data_utils
+
+    golden = [
+        # MLS block (reference :347-362): full-name configs, 'transcript'.
+        ("mls_french_test", "facebook/multilingual_librispeech", "french",
+         "test", "transcript", "fr"),
+        ("mls_italian_test", "facebook/multilingual_librispeech", "italian",
+         "test", "transcript", "it"),
+        ("mls_spanish_test", "facebook/multilingual_librispeech", "spanish",
+         "test", "transcript", "es"),
+        ("mls_portuguese_test", "facebook/multilingual_librispeech",
+         "portuguese", "test", "transcript", "pt"),
+        ("mls_german_test", "facebook/multilingual_librispeech", "german",
+         "test", "transcript", "de"),
+        # CoVoST2 block (reference :381-396): xx_en configs, 'sentence'.
+        ("covost2_fr_test", "fixie-ai/covost2", "fr_en", "test", "sentence", "fr"),
+        ("covost2_it_test", "fixie-ai/covost2", "it_en", "test", "sentence", "it"),
+        ("covost2_es_test", "fixie-ai/covost2", "es_en", "test", "sentence", "es"),
+        ("covost2_pt_test", "fixie-ai/covost2", "pt_en", "test", "sentence", "pt"),
+        ("covost2_de_test", "fixie-ai/covost2", "de_en", "test", "sentence", "de"),
+        # FLEURS block (reference :364-379): regioned configs.
+        ("fleurs_fr_test", "google/fleurs", "fr_fr", "test", "transcription", "fr"),
+        ("fleurs_it_test", "google/fleurs", "it_it", "test", "transcription", "it"),
+        ("fleurs_es_test", "google/fleurs", "es_419", "test", "transcription", "es"),
+        ("fleurs_pt_test", "google/fleurs", "pt_br", "test", "transcription", "pt"),
+        ("fleurs_de_test", "google/fleurs", "de_de", "test", "transcription", "de"),
+    ]
+    tasks = data_utils.open_asr_multilingual_tasks()
+    got = [(t["name"], t["path"], t["config"], t["split"], t["text_key"],
+            t["language"]) for t in tasks]
+    assert sorted(got) == sorted(golden)
+    # Reference block order: MLS, CoVoST2, FLEURS.
+    assert [t["path"] for t in tasks] == (
+        ["facebook/multilingual_librispeech"] * 5
+        + ["fixie-ai/covost2"] * 5 + ["google/fleurs"] * 5)
+
+    # Extended languages must use real config names too, never xx_xx forms.
+    ext = data_utils.open_asr_multilingual_tasks(["en", "ru", "ar", "hi", "id"])
+    fleurs_cfgs = {t["config"] for t in ext if t["path"] == "google/fleurs"}
+    assert fleurs_cfgs == {"en_us", "ru_ru", "ar_eg", "hi_in", "id_id"}
+
+
 def test_mix_noise_at_snr():
     import data_utils
 

@@ -114,6 +114,53 @@ def test_latency_buckets(tiny_pipeline):
     assert base[0]["text"] == bucketed[0]["text"]
 
 
+def test_word_timestamps_skip_special_tokens_without_shift(
+        tiny_pipeline, monkeypatch):
+    """A special token dropped mid-sequence must not shift later tokens'
+    alignment rows: rows are indexed by raw generated position."""
+    from thewhisper_tpu.config import GenerationOptions
+    import thewhisper_tpu.pipeline as pl
+    from thewhisper_tpu.engine.engine import EngineResult
+
+    p = 4          # prompt length
+    eot = 101
+
+    class StubEngine:
+        arch = tiny_pipeline.engine.arch
+        special = tiny_pipeline.engine.special
+
+        def transcribe_features(self, mel, opts):
+            # generated: [10, 11, <special 150>, 12, EOT]
+            toks = np.array([[102, 110, 121, 123, 10, 11, 150, 12, eot, 0]],
+                            np.int32)
+            return EngineResult(
+                tokens=toks, num_generated=np.array([4]), prompt_len=p,
+                sum_logprob=np.zeros(1), align=np.zeros((1, 1, 10, 8)),
+                decode_time_s=0.0,
+                token_logprobs=np.zeros((1, 6)), no_speech_prob=np.zeros(1))
+
+    # Row r of the alignment maps to time r * 0.1 s, deterministically.
+    monkeypatch.setattr(
+        pl, "token_timestamps_from_alignment",
+        lambda align, num_rows, num_frames, median_filter_width:
+            np.tile(np.arange(10, dtype=np.float64) * 0.1, (align.shape[0], 1)))
+
+    pipe = ASRPipeline(tiny_pipeline.engine, tokenizer=MapTokenizer(),
+                       chunk_length_s=3)
+    pipe.engine = StubEngine()
+    seqs, ts_seqs, _ = pipe._decode_windows(
+        [np.zeros(16000, np.float32)], [0],
+        GenerationOptions(max_new_tokens=6, language="en",
+                          return_timestamps=True),
+        1, want_words=True)
+    assert seqs[0] == [10, 11, 12]
+    # Raw positions 0, 1, 3 -> rows p+0, p+1, p+3 -> 0.4, 0.5, 0.7 s.
+    starts = [t0 for t0, _ in ts_seqs[0]]
+    assert starts == pytest.approx([0.4, 0.5, 0.7])
+    # End of token at raw pos 1 is row p+2 (the special's row) = 0.6 s.
+    assert ts_seqs[0][1][1] == pytest.approx(0.6)
+
+
 def test_pipeline_beam_word_timestamps(tiny_pipeline):
     out = tiny_pipeline(
         _audio(2.0, seed=5), return_timestamps="word",

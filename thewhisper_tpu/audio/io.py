@@ -27,6 +27,7 @@ def _parse_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = None
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
@@ -34,14 +35,23 @@ def _parse_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat in guid
-        audio_format = 1 if bits != 32 else 3  # heuristic w/o guid parse
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat in GUID
+        # fmt extension: cbSize(2) validBits(2) channelMask(4) SubFormat(16);
+        # the GUID's first two bytes are the little-endian format code
+        # (1 = PCM, 3 = IEEE float). A 32-bit *integer* extensible WAV must
+        # decode as PCM, so the GUID is authoritative; fall back to the bit
+        # depth heuristic only when the extension is truncated.
+        if fmt_body is not None and len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            audio_format = 1 if bits != 32 else 3
     if audio_format == 1:  # PCM
         if bits == 16:
             x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

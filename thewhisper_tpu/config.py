@@ -85,7 +85,10 @@ class SpecialTokens:
     n_languages: int = 100
     translate: int = 50359
     transcribe: int = 50360
-    no_speech: int = 50362
+    # <|startoflm|> 50361, <|startofprev|> 50362, <|nospeech|> 50363
+    # (= no_timestamps - 1, the HF convention; see
+    # tools/make_tiny_checkpoint.py special-token order).
+    no_speech: int = 50363
     no_timestamps: int = 50364
     timestamp_begin: int = 50365
 
@@ -96,7 +99,7 @@ class SpecialTokens:
         # large-v2 / earlier: 99 languages, block shifted down by one.
         return SpecialTokens(
             eot=50257, sot=50258, first_language=50259, n_languages=99,
-            translate=50358, transcribe=50359, no_speech=50361,
+            translate=50358, transcribe=50359, no_speech=50362,
             no_timestamps=50363, timestamp_begin=50364,
         )
 

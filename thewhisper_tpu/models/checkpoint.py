@@ -93,12 +93,18 @@ def save_hf_checkpoint(
     arch: WhisperArch,
     path: str,
     generation_config: Optional[Dict[str, Any]] = None,
+    chunk_length_s: Optional[float] = None,
 ) -> str:
     """Write an HF-compatible Whisper checkpoint directory.
 
     Note: the encoder position table must be full-length (1500 rows) for a
     faithful HF checkpoint; flexible-chunk params export with however many
-    rows they carry and ``max_source_positions`` set to match.
+    rows they carry and ``max_source_positions`` set to match. Pass
+    ``chunk_length_s`` for flexible-chunk fine-tunes: it writes a
+    ``chunk_length`` marker into generation_config.json so
+    ``models.load.detect_flexible_checkpoint`` picks ``truncate`` positions
+    on reload (the reference encodes the same fact in its directory scheme,
+    ``apple/model.py:497-514``).
     """
     from safetensors import numpy as st_numpy
 
@@ -137,6 +143,8 @@ def save_hf_checkpoint(
     gen_cfg = dict(generation_config or {})
     gen_cfg.setdefault("alignment_heads",
                        [list(h) for h in arch.alignment_heads])
+    if chunk_length_s is not None:
+        gen_cfg.setdefault("chunk_length", float(chunk_length_s))
     with open(os.path.join(path, "generation_config.json"), "w") as f:
         json.dump(gen_cfg, f, indent=2)
     return path

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
@@ -182,6 +183,26 @@ def _read_safetensors_dir(path: str) -> Dict[str, Array]:
     return state
 
 
+def detect_flexible_checkpoint(path: str, cfg: Mapping[str, Any],
+                               gen_cfg: Mapping[str, Any]) -> bool:
+    """True if the checkpoint is a flexible-chunk fine-tune.
+
+    The reference encodes chunk length in its checkpoint layout
+    (``free/macos_15_ios_18/{mode}/{chunk_length}sec``, reference
+    ``apple/model.py:497-514``); HF-format exports of those fine-tunes carry
+    a ``chunk_length`` marker in config/generation_config (our
+    ``models/checkpoint.py`` writes one too). Either signal means the model
+    was *trained* with truncated positions (``mlx_modules.py:198-199``) —
+    interpolation would be the wrong mechanism for it.
+    """
+    for c in (cfg, gen_cfg):
+        if any(k in c for k in ("chunk_length", "chunk_length_s", "flexible_chunks")):
+            return True
+    # Directory-scheme marker: any path component like "10sec" / "30sec".
+    parts = os.path.normpath(os.path.abspath(path)).split(os.sep)
+    return any(re.fullmatch(r"\d+sec", p) for p in parts)
+
+
 def load_checkpoint(
     path: str,
     dtype: jnp.dtype = jnp.float32,
@@ -190,14 +211,17 @@ def load_checkpoint(
 ) -> Tuple[Dict[str, Any], WhisperArch]:
     """Load an HF Whisper checkpoint directory into (params, arch).
 
-    ``position_mode`` defaults to "truncate" for checkpoints whose
-    generation_config marks them as flexible fine-tunes, else "interpolate"
-    (reference behavior split between apple and nvidia paths).
+    ``position_mode`` defaults to "truncate" for checkpoints that
+    :func:`detect_flexible_checkpoint` marks as flexible fine-tunes, else
+    "interpolate" (reference behavior split between the apple path,
+    ``mlx_modules.py:198-199``, and the nvidia path,
+    ``nvidia/asr_pipeline.py:15-27``).
     """
     with open(os.path.join(path, "config.json")) as f:
         cfg = json.load(f)
 
     alignment_heads: Tuple[Tuple[int, int], ...] = ()
+    gen_cfg: Dict[str, Any] = {}
     gen_cfg_path = os.path.join(path, "generation_config.json")
     if os.path.exists(gen_cfg_path):
         with open(gen_cfg_path) as f:
@@ -206,10 +230,10 @@ def load_checkpoint(
 
     arch = arch_from_hf_config(cfg, alignment_heads)
     state = _read_safetensors_dir(path)
-    if any(k.startswith("model.") is False and k.startswith("proj_out") for k in state):
-        pass  # proj_out is tied to embed_tokens; ignored.
     if position_mode is None:
-        position_mode = "interpolate"
+        position_mode = ("truncate"
+                         if detect_flexible_checkpoint(path, cfg, gen_cfg)
+                         else "interpolate")
     params = params_from_hf_state_dict(
         state, arch, dtype=dtype, chunk_length_s=chunk_length_s,
         position_mode=position_mode,

@@ -243,12 +243,15 @@ class ASRPipeline:
                     else:
                         lp_seqs.append([0.0] * len(ids))
                 if want_words:
+                    # Index alignment rows by RAW generated position (j), not
+                    # by rank in the special-token-filtered list: a special
+                    # token dropped mid-sequence must not shift later rows.
                     offset_s = offsets[start + bi] / SAMPLE_RATE
                     ts: List[Tuple[Optional[float], Optional[float]]] = []
-                    for k in range(len(ids)):
-                        t0 = float(token_ts[bi, p + k]) + offset_s
-                        if p + k + 1 < p + n:
-                            t1 = float(token_ts[bi, p + k + 1]) + offset_s
+                    for j in keep:
+                        t0 = float(token_ts[bi, p + j]) + offset_s
+                        if p + j + 1 < p + n:
+                            t1 = float(token_ts[bi, p + j + 1]) + offset_s
                         else:
                             t1 = None
                         ts.append((t0, t1))
