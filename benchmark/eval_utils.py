@@ -42,8 +42,12 @@ def evaluate_dataset(
 ) -> Dict[str, Any]:
     """Run the pipeline over samples, compute WER/CER/RTFx.
 
-    ``pipeline`` needs ``transcribe_batch(audios, generate_kwargs=...)``
-    (our ASRPipeline) — each sample is one window, batched onto the TPU.
+    ``pipeline`` is our ASRPipeline. Samples that fit one model window ride
+    the batched ``transcribe_batch`` fast path; longer samples go through
+    the windowed ``__call__`` (overlapping windows + timestamp-aware LCS
+    merge) so their full audio is transcribed — parity with the reference,
+    which evaluates through the HF chunked pipeline
+    (``run_evaluation.py:62-72``) and never truncates.
     """
     normalizer = get_normalizer(language)
     refs: List[str] = []
@@ -52,6 +56,25 @@ def evaluate_dataset(
     total_audio_s = 0.0
     total_gen_s = 0.0
     ttft: Optional[float] = None
+    chunk_s = float(getattr(pipeline, "model_chunk_length_s", float("inf")))
+    gen_kwargs = {
+        "num_beams": 1,
+        "language": language,
+        "max_new_tokens": max_new_tokens,
+    }
+
+    def record(s, text):
+        ref_n = normalizer(s.text)
+        hyp_n = normalizer(text)
+        if not ref_n:
+            return
+        refs.append(ref_n)
+        hyps.append(hyp_n)
+        if return_per_sample:
+            per_sample.append({
+                "id": s.id, "ref": ref_n, "hyp": hyp_n,
+                "duration": s.duration_s,
+            })
 
     batch: List[Any] = []
 
@@ -62,33 +85,29 @@ def evaluate_dataset(
         audios = [s.audio for s in batch]
         t0 = time.perf_counter()
         results = pipeline.transcribe_batch(
-            audios,
-            return_timestamps=False,
-            generate_kwargs={
-                "num_beams": 1,
-                "language": language,
-                "max_new_tokens": max_new_tokens,
-            },
+            audios, return_timestamps=False,
+            generate_kwargs=dict(gen_kwargs),
         )
         dt = time.perf_counter() - t0
         if ttft is None:
             ttft = dt
         total_gen_s += dt
         for s, r in zip(batch, results):
-            ref_n = normalizer(s.text)
-            hyp_n = normalizer(r["text"])
-            if not ref_n:
-                continue
-            refs.append(ref_n)
-            hyps.append(hyp_n)
-            if return_per_sample:
-                per_sample.append({
-                    "id": s.id, "ref": ref_n, "hyp": hyp_n,
-                    "duration": s.duration_s,
-                })
+            record(s, r["text"])
 
     for sample in samples:
         total_audio_s += sample.duration_s
+        if sample.duration_s > chunk_s:
+            # Long-form path: windowed call with LCS merge (no truncation).
+            t0 = time.perf_counter()
+            out = pipeline(sample.audio, return_timestamps=False,
+                           generate_kwargs=dict(gen_kwargs))
+            dt = time.perf_counter() - t0
+            if ttft is None:
+                ttft = dt
+            total_gen_s += dt
+            record(sample, out["text"])
+            continue
         batch.append(sample)
         if len(batch) >= batch_size:
             flush(batch)

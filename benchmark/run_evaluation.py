@@ -41,7 +41,10 @@ def main():
     ap.add_argument("--max-samples", type=int, default=None)
     ap.add_argument("--max-new-tokens", type=int, default=256)
     ap.add_argument("--min-duration", type=float, default=0.0)
-    ap.add_argument("--max-duration", type=float, default=30.0)
+    # No duration cap by default: samples longer than the model chunk go
+    # through the windowed LCS-merge path (reference evaluates any-length
+    # samples through the HF chunked pipeline, run_evaluation.py:62-72).
+    ap.add_argument("--max-duration", type=float, default=float("inf"))
     ap.add_argument("--noise-dir", default=None, help="MUSAN-style noise dir")
     ap.add_argument("--snr-db", type=float, default=None)
     ap.add_argument("--results", default="results/eval.json")

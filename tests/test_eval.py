@@ -154,6 +154,89 @@ def test_evaluate_dataset_with_fake_pipeline(tmp_path):
     assert set(merged) == {"fake_task", "other"}
 
 
+def test_evaluate_dataset_long_form_routing():
+    """Samples longer than the model chunk must go through the windowed
+    __call__ (LCS merge), not the single-window truncating fast path."""
+    import data_utils
+    import eval_utils
+
+    calls = {"batch": [], "windowed": []}
+
+    class FakePipeline:
+        model_chunk_length_s = 2.0
+
+        def transcribe_batch(self, audios, **kw):
+            calls["batch"].extend(len(a) for a in audios)
+            return [{"text": "short sample"} for _ in audios]
+
+        def __call__(self, audio, **kw):
+            calls["windowed"].append(len(audio))
+            return {"text": "long sample fully transcribed"}
+
+    samples = [
+        data_utils.EvalSample(audio=np.zeros(16000, np.float32),
+                              text="short sample", duration_s=1.0, id="s"),
+        data_utils.EvalSample(audio=np.zeros(7 * 16000, np.float32),
+                              text="long sample fully transcribed",
+                              duration_s=7.0, id="l"),
+    ]
+    res = eval_utils.evaluate_dataset(FakePipeline(), samples, batch_size=4)
+    assert calls["windowed"] == [7 * 16000]
+    assert calls["batch"] == [16000]
+    assert res["wer"] == 0.0
+    assert res["n_samples"] == 2
+
+
+def test_evaluate_dataset_long_form_real_engine(tiny_eval_pipeline):
+    """Integration: a sample longer than the chunk is transcribed across
+    its full length (windows past the first produce text too)."""
+    import data_utils
+    import eval_utils
+
+    rng = np.random.default_rng(0)
+    long_audio = (0.1 * rng.standard_normal(7 * 16000)).astype(np.float32)
+    samples = [data_utils.EvalSample(audio=long_audio, text="x", duration_s=7.0)]
+    res = eval_utils.evaluate_dataset(
+        tiny_eval_pipeline, samples, max_new_tokens=8)
+    assert res["n_samples"] == 1
+    # The windowed path must produce at least as much text as one window.
+    single = tiny_eval_pipeline.transcribe_batch(
+        [long_audio], return_timestamps=False,
+        generate_kwargs={"max_new_tokens": 8, "language": "en"})[0]["text"]
+    full = tiny_eval_pipeline(
+        long_audio, generate_kwargs={"max_new_tokens": 8, "language": "en"})["text"]
+    assert len(full) >= len(single)
+
+
+@pytest.fixture(scope="module")
+def tiny_eval_pipeline():
+    import dataclasses
+
+    from thewhisper_tpu.config import ARCH_PRESETS, SpecialTokens
+    from thewhisper_tpu.engine import WhisperEngine
+    from thewhisper_tpu.models.whisper import init_params
+    from thewhisper_tpu.pipeline import ASRPipeline
+
+    arch = dataclasses.replace(
+        ARCH_PRESETS["tiny"],
+        d_model=64, encoder_layers=2, encoder_heads=4, decoder_layers=2,
+        decoder_heads=4, d_ff=128, vocab_size=200, n_mels=80,
+        max_source_positions=150, max_target_positions=64,
+        alignment_heads=((1, 0),),
+    )
+    sp = SpecialTokens(eot=101, sot=102, first_language=110, n_languages=5,
+                       translate=120, transcribe=121, no_speech=122,
+                       no_timestamps=123, timestamp_begin=124)
+    eng = WhisperEngine(init_params(arch, seed=3), arch, special=sp,
+                        batch_buckets=(1, 2, 4))
+
+    class MapTok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(f" w{int(i)}" for i in ids if int(i) < 90)
+
+    return ASRPipeline(eng, tokenizer=MapTok(), chunk_length_s=3)
+
+
 def test_manifest_loader(tmp_path):
     import data_utils
     from thewhisper_tpu.audio.io import save_wav
