@@ -202,6 +202,45 @@ def test_end_to_end_greedy_parity_with_torch(tiny_ckpt):
     np.testing.assert_array_equal(ours, ref[:n])
 
 
+def test_beam_search_parity_with_hf(tiny_ckpt):
+    """Beam search (num_beams=3) selects the same sequence HF's
+    BeamSearchScorer does — pins the length normalization to HF's
+    (sum_logprobs / full-hypothesis-length ** penalty)."""
+    import torch
+    import jax.numpy as jnp
+    from transformers import WhisperForConditionalGeneration
+
+    from thewhisper_tpu.audio.features import LogMelFeaturizer
+    from thewhisper_tpu.config import GenerationOptions
+    from thewhisper_tpu.engine import WhisperEngine
+
+    model = WhisperForConditionalGeneration.from_pretrained(tiny_ckpt).eval()
+    eng = WhisperEngine.from_checkpoint(
+        tiny_ckpt, chunk_length_s=30, compute_dtype=jnp.float32)
+
+    feat = LogMelFeaturizer(n_mels=128, chunk_length_s=30.0, use_pallas=False)
+    audio = (0.2 * np.sin(2 * np.pi * 260 * np.arange(64000) / 16000)
+             ).astype(np.float32)
+    mel = np.asarray(feat(audio))
+
+    max_new = 8
+    with torch.no_grad():
+        ref = model.generate(
+            input_features=torch.from_numpy(mel.copy()),
+            num_beams=3, do_sample=False, max_new_tokens=max_new,
+            language="en", task="transcribe", return_timestamps=False)
+    ref_ids = [t for t in ref[0].numpy().tolist()
+               if t < eng.special.eot][0:]
+
+    res = eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=max_new, language="en",
+                               num_beams=3))
+    n = int(res.num_generated[0])
+    ours = [t for t in res.tokens[0, res.prompt_len: res.prompt_len + n]
+            .tolist() if t < eng.special.eot]
+    assert ours == ref_ids
+
+
 def test_full_hf_pipeline_transcript_parity(tiny_ckpt):
     """The strongest offline parity check: HF's own ASR pipeline (torch
     feature extractor + generate + decode) and our TPU pipeline produce the

@@ -138,6 +138,10 @@ class GenerationOptions:
     language: Optional[str] = None   # None => rely on detected/default "en"
     task: str = "transcribe"
     return_timestamps: bool = False  # word timestamps via DTW alignment
+    # Sampling temperature (0 = greedy). Used by the opt-in openai-whisper
+    # style fallback ladder: failed windows re-decode at rising temperature.
+    temperature: float = 0.0
+    seed: int = 0                    # PRNG seed when temperature > 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,13 +58,24 @@ def greedy_decode(
     capture_alignment: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
     no_speech_id: Optional[int] = None,
+    temperature: float = 0.0,
+    rng_seed: Optional[jnp.ndarray] = None,        # scalar uint32/int32
 ) -> GreedyResult:
+    """Greedy (``temperature=0``) or sampled decode, fully on device.
+
+    ``temperature > 0`` samples each step (the openai-whisper fallback
+    ladder's re-decode mode); the step index is folded into ``rng_seed`` so
+    every position draws an independent key inside the while_loop.
+    """
     b, p = prompt.shape
     s_max = p + max_new_tokens
     ck = cache.cross_k
     t_enc = (ck["q"] if isinstance(ck, dict) else ck).shape[4]
     n_align = max(1, len(arch.alignment_heads))
     v = arch.vocab_size
+
+    base_key = (jax.random.PRNGKey(rng_seed)
+                if (temperature and rng_seed is not None) else None)
 
     logits_p, cache, align_p = decoder_prefill(
         params, prompt, cache, arch, compute_dtype)
@@ -77,18 +88,22 @@ def greedy_decode(
     else:
         align_buf = jnp.zeros((b, 1, 1, 1), dtype=jnp.float32)
 
-    def pick(step_logits: jnp.ndarray, is_first: jnp.ndarray):
+    def pick(step_logits: jnp.ndarray, is_first: jnp.ndarray, step_idx):
         x = step_logits
         if suppress is not None:
             x = x + suppress
         if begin_suppress is not None:
             x = x + jnp.where(is_first, begin_suppress, jnp.zeros_like(begin_suppress))
         logprobs = jax.nn.log_softmax(x, axis=-1)
-        nxt = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        if base_key is not None:
+            key = jax.random.fold_in(base_key, step_idx)
+            nxt = jax.random.categorical(key, x / temperature).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(x, axis=-1).astype(jnp.int32)
         lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
         return nxt, lp
 
-    first_tok, first_lp = pick(logits_p[:, -1], jnp.bool_(True))
+    first_tok, first_lp = pick(logits_p[:, -1], jnp.bool_(True), jnp.int32(0))
 
     # P(no_speech) read off the sot position, HF-style silence signal.
     if no_speech_id is not None:
@@ -131,7 +146,7 @@ def greedy_decode(
         step_cache = DecodeCache(c.self_k, c.self_v, cross_k, cross_v)
         logits, new_cache, align_step = decoder_step(
             params, tok, pos.astype(jnp.int32), step_cache, arch, compute_dtype)
-        nxt, lp = pick(logits, jnp.bool_(False))
+        nxt, lp = pick(logits, jnp.bool_(False), c.step)
         nxt = jnp.where(c.done, eot, nxt)
         new_tokens = jax.lax.dynamic_update_slice(
             c.tokens, nxt[:, None], (0, pos + 1))
@@ -169,6 +184,8 @@ class BeamResult(NamedTuple):
     sum_logprob: jnp.ndarray   # (B,) f32 of the selected beam
     all_tokens: jnp.ndarray    # (B, K, P + max_new) every beam (debug/nbest)
     align: jnp.ndarray         # (B, A, P + max_new, T_enc) best beam; zeros if off
+    token_logprobs: jnp.ndarray  # (B, max_new) f32 per token of the best beam
+    no_speech_prob: jnp.ndarray  # (B,) f32 P(no_speech | sot) if id given
 
 
 def beam_decode(
@@ -184,13 +201,15 @@ def beam_decode(
     length_penalty: float = 1.0,
     compute_dtype: jnp.dtype = jnp.float32,
     capture_alignment: bool = False,
+    no_speech_id: Optional[int] = None,
 ) -> BeamResult:
     """Batched beam search fully on device (HF defaults: length_penalty 1.0).
 
     The cache carries B*K rows; each step gathers cache/token/alignment
     state by the selected parent beams (``jnp.take`` along the batch axis) —
     the on-device analog of HF's post-hoc ``beam_indices`` reindexing
-    (reference ``apple/model.py:747-783``).
+    (reference ``apple/model.py:747-783``). Per-token logprobs ride the same
+    gathers, so confidences exist under beams exactly as under greedy.
     """
     b, p = prompt.shape
     k = num_beams
@@ -224,6 +243,13 @@ def beam_decode(
         eot_only = jnp.full((v,), -1e9, jnp.float32).at[eot].set(0.0)
         return jnp.where(done[:, :, None], eot_only[None, None, :], logp)
 
+    # P(no_speech) off the sot position of beam 0 (all beams identical here).
+    if no_speech_id is not None:
+        no_speech_prob = jax.nn.softmax(
+            logits_p.reshape(b, k, p, v)[:, 0, 0], axis=-1)[:, no_speech_id]
+    else:
+        no_speech_prob = jnp.zeros((b,), jnp.float32)
+
     tokens = jnp.zeros((b, k, s_max), jnp.int32)
     tokens = tokens.at[:, :, :p].set(prompt[:, None, :])
     done0 = jnp.zeros((b, k), bool)
@@ -245,6 +271,11 @@ def beam_decode(
         cache.cross_k, cache.cross_v)
     align_buf = jnp.take(align_buf, rows, axis=0)
     done = tok == eot
+    # Per-token logprob of each beam's chosen token: new total minus the
+    # parent's total (0 for finished beams extending with free EOT).
+    parent_sum = jnp.take_along_axis(sum_lp, parent, axis=1)
+    token_lp = jnp.zeros((b, k, max_new_tokens), jnp.float32)
+    token_lp = token_lp.at[:, :, 0].set(new_sum - parent_sum)
     sum_lp = new_sum
 
     cross_k_const, cross_v_const = cache.cross_k, cache.cross_v
@@ -257,6 +288,7 @@ def beam_decode(
         self_v: jnp.ndarray
         sum_lp: jnp.ndarray
         align: jnp.ndarray
+        token_lp: jnp.ndarray
 
     def cond(c):
         return (c.step < max_new_tokens) & ~jnp.all(c.done)
@@ -286,15 +318,22 @@ def beam_decode(
         new_done = jnp.take(c.done.reshape(-1), rows).reshape(b, k) | (tok == eot)
         new_align = (jnp.take(align1, rows, axis=0) if capture_alignment
                      else align1)
+        # Token logprobs follow their beam's parent chain, then record this
+        # step's increment (0 for already-finished beams).
+        parent_sum = jnp.take_along_axis(c.sum_lp, parent, axis=1)
+        tlp = jnp.take(c.token_lp.reshape(b * k, max_new_tokens), rows,
+                       axis=0).reshape(b, k, max_new_tokens)
+        tlp = jax.lax.dynamic_update_slice(
+            tlp, (new_sum - parent_sum)[:, :, None], (0, 0, c.step))
         return Carry(c.step + 1, toks, new_done,
                      jnp.take(new_cache.self_k, rows, axis=1),
                      jnp.take(new_cache.self_v, rows, axis=1), new_sum,
-                     new_align)
+                     new_align, tlp)
 
     out = jax.lax.while_loop(
         cond, body,
         Carry(jnp.int32(1), tokens, done, cache.self_k, cache.self_v, sum_lp,
-              align_buf))
+              align_buf, token_lp))
 
     # Per-beam generated length = first EOT position (or max_new).
     gen = out.tokens[:, :, p:]
@@ -303,7 +342,10 @@ def beam_decode(
     first_eot = jnp.argmax(is_eot, axis=-1)
     lengths = jnp.where(any_eot, first_eot, max_new_tokens)
 
-    score = out.sum_lp / jnp.maximum(lengths, 1).astype(jnp.float32) ** length_penalty
+    # HF parity: BeamHypotheses normalizes by the FULL hypothesis length
+    # including the forced prompt (sum_logprobs / hyp_len ** penalty); the
+    # forced tokens contribute 0 logprob, so only the denominator changes.
+    score = out.sum_lp / (p + lengths).astype(jnp.float32) ** length_penalty
     best = jnp.argmax(score, axis=-1)                     # (B,)
     bidx = jnp.arange(b)
     best_tokens = out.tokens[bidx, best]
@@ -318,4 +360,6 @@ def beam_decode(
         sum_logprob=out.sum_lp[bidx, best],
         all_tokens=out.tokens,
         align=best_align,
+        token_logprobs=out.token_lp[bidx, best],
+        no_speech_prob=no_speech_prob,
     )

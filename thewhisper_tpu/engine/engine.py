@@ -52,8 +52,8 @@ class EngineResult(NamedTuple):
     sum_logprob: np.ndarray    # (B,)
     align: Optional[np.ndarray]  # (B, A, P+max_new, T_enc) or None
     decode_time_s: float
-    token_logprobs: Optional[np.ndarray] = None  # (B, max_new) greedy only
-    no_speech_prob: Optional[np.ndarray] = None  # (B,) greedy only
+    token_logprobs: Optional[np.ndarray] = None  # (B, max_new) greedy + beam
+    no_speech_prob: Optional[np.ndarray] = None  # (B,) greedy + beam
 
 
 def _bucket_batch(b: int, buckets: Sequence[int]) -> int:
@@ -127,8 +127,10 @@ class WhisperEngine:
     # -- compiled program ----------------------------------------------------
 
     def _generate_fn(self, batch: int, t_mel: int, prompt_len: int,
-                     max_new: int, timestamps: bool, num_beams: int = 1):
-        key = (batch, t_mel, prompt_len, max_new, timestamps, num_beams)
+                     max_new: int, timestamps: bool, num_beams: int = 1,
+                     temperature: float = 0.0):
+        key = (batch, t_mel, prompt_len, max_new, timestamps, num_beams,
+               temperature)
         with self._lock:
             fn = self._jit_cache.get(key)
         if fn is not None:
@@ -143,7 +145,7 @@ class WhisperEngine:
 
         cross_kv_int8 = self.cross_kv_int8
 
-        def program(params, mel, prompt):
+        def program(params, mel, prompt, seed):
             enc = encoder_forward(params, mel, arch, compute_dtype)
             ck, cv = compute_cross_kv(params, enc, arch)
             if cross_kv_int8:
@@ -165,7 +167,8 @@ class WhisperEngine:
                     params, arch, prompt, cache, num_beams, max_new, eot,
                     suppress=suppress, begin_suppress=begin_suppress,
                     compute_dtype=compute_dtype,
-                    capture_alignment=timestamps)
+                    capture_alignment=timestamps,
+                    no_speech_id=self.special.no_speech)
             if not cross_kv_int8:
                 ck = ck.astype(cache_dtype)
                 cv = cv.astype(cache_dtype)
@@ -176,7 +179,8 @@ class WhisperEngine:
                 params, arch, prompt, cache, max_new, eot,
                 suppress=suppress, begin_suppress=begin_suppress,
                 capture_alignment=timestamps, compute_dtype=compute_dtype,
-                no_speech_id=self.special.no_speech)
+                no_speech_id=self.special.no_speech,
+                temperature=temperature, rng_seed=seed)
 
         fn = jax.jit(program)
         with self._lock:
@@ -229,11 +233,15 @@ class WhisperEngine:
         prompt_arr = jnp.asarray(
             np.tile(np.asarray(prompt, np.int32), (bb, 1)))
 
+        temperature = (float(options.temperature)
+                       if options.num_beams == 1 else 0.0)
         fn = self._generate_fn(
             bb, mel.shape[-1], len(prompt), options.max_new_tokens,
-            options.return_timestamps, num_beams=options.num_beams)
+            options.return_timestamps, num_beams=options.num_beams,
+            temperature=temperature)
         t0 = time.perf_counter()
-        result = fn(self.params, jnp.asarray(mel), prompt_arr)
+        result = fn(self.params, jnp.asarray(mel), prompt_arr,
+                    jnp.uint32(options.seed))
         tokens = np.asarray(result.tokens)           # blocks until done
         dt = time.perf_counter() - t0
         self.total_time_worked += dt
@@ -242,7 +250,6 @@ class WhisperEngine:
         sum_lp = np.asarray(result.sum_logprob)
         align = (np.asarray(result.align)
                  if options.return_timestamps else None)
-        greedy = options.num_beams == 1
         return EngineResult(
             tokens=tokens[:b],
             num_generated=num_gen[:b],
@@ -250,10 +257,8 @@ class WhisperEngine:
             sum_logprob=sum_lp[:b],
             align=align[:b] if align is not None else None,
             decode_time_s=dt,
-            token_logprobs=(np.asarray(result.token_logprobs)[:b]
-                            if greedy else None),
-            no_speech_prob=(np.asarray(result.no_speech_prob)[:b]
-                            if greedy else None),
+            token_logprobs=np.asarray(result.token_logprobs)[:b],
+            no_speech_prob=np.asarray(result.no_speech_prob)[:b],
         )
 
     def detect_language(self, mel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

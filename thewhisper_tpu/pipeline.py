@@ -18,7 +18,9 @@ windows are batched together into one device call.
 
 from __future__ import annotations
 
+import dataclasses
 import math
+import zlib
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -139,6 +141,7 @@ class ASRPipeline:
         max_new_tokens = int(gk.pop("max_new_tokens", 224))
         task = gk.pop("task", "transcribe")
         num_beams = int(gk.pop("num_beams", 1))
+        fallback = _fallback_ladder(gk.pop("fallback_temperatures", None))
         want_words = return_timestamps == "word"
 
         win_s = float(chunk_length_s or self.model_chunk_length_s)
@@ -155,7 +158,8 @@ class ASRPipeline:
             max_new_tokens=max_new_tokens, language=language, task=task,
             return_timestamps=want_words, num_beams=num_beams,
         )
-        seqs, ts_seqs = self._decode_windows(windows, offsets, opts, bsz, want_words)[:2]
+        seqs, ts_seqs = self._decode_windows(
+            windows, offsets, opts, bsz, want_words, fallback=fallback)[:2]
 
         if len(seqs) == 1:
             tokens, token_ts_list = seqs[0], (ts_seqs[0] if want_words else None)
@@ -184,6 +188,7 @@ class ASRPipeline:
         max_new_tokens = int(gk.pop("max_new_tokens", 128))
         task = gk.pop("task", "transcribe")
         num_beams = int(gk.pop("num_beams", 1))
+        fallback = _fallback_ladder(gk.pop("fallback_temperatures", None))
         want_words = return_timestamps == "word"
         win = int(self.model_chunk_length_s * SAMPLE_RATE)
         windows = [np.asarray(a, np.float32).reshape(-1)[:win] for a in audios]
@@ -195,7 +200,7 @@ class ASRPipeline:
         )
         seqs, ts_seqs, lp_seqs = self._decode_windows(
             windows, [0] * len(windows), opts, len(windows), want_words,
-            bucket_s=bucket_s, with_logprobs=True)
+            bucket_s=bucket_s, with_logprobs=True, fallback=fallback)
         return [
             self._format_output(
                 seqs[i], ts_seqs[i] if want_words else None, language,
@@ -207,7 +212,8 @@ class ASRPipeline:
 
     def _decode_windows(self, windows, offsets, opts, bsz, want_words,
                         bucket_s: Optional[float] = None,
-                        with_logprobs: bool = False):
+                        with_logprobs: bool = False,
+                        fallback: Optional[Sequence[float]] = None):
         """Run windows through the engine -> per-window (ids, (start,end))."""
         featurizer = (self.featurizer if bucket_s is None
                       else self._featurizer_for(bucket_s))
@@ -219,7 +225,7 @@ class ASRPipeline:
         for start in range(0, len(windows), bsz):
             batch = windows[start: start + bsz]
             mel = np.asarray(featurizer(_pad_stack(batch, win)))
-            res = self.engine.transcribe_features(mel, opts)
+            res = self._transcribe_with_fallback(mel, opts, fallback)
             p = res.prompt_len
             if want_words:
                 # Alignment rows populated per sample: prompt + generated - 1.
@@ -258,6 +264,42 @@ class ASRPipeline:
                     ts_seqs.append(ts)
         return seqs, ts_seqs, lp_seqs
 
+    # -- temperature fallback ladder (opt-in) --------------------------------
+
+    def _transcribe_with_fallback(self, mel, opts, temperatures):
+        """openai-whisper style quality gating: windows whose output is
+        repetitive (zlib compression ratio > 2.4) or low-confidence (mean
+        token logprob < -1.0) are re-decoded by sampling at the next
+        temperature in the ladder. Off unless ``fallback_temperatures`` is
+        passed in generate_kwargs."""
+        res = self.engine.transcribe_features(mel, opts)
+        if not temperatures:
+            return res
+        for step, t in enumerate(t for t in temperatures if t > 0.0):
+            failed = [i for i in range(mel.shape[0])
+                      if self._window_fails(res, i)]
+            if not failed:
+                break
+            retry_opts = dataclasses.replace(
+                opts, temperature=float(t), seed=opts.seed + step + 1)
+            sub = self.engine.transcribe_features(mel[failed], retry_opts)
+            res = _merge_result_rows(res, sub, failed)
+        return res
+
+    def _window_fails(self, res, i: int) -> bool:
+        n = int(res.num_generated[i])
+        if n <= 0:
+            return False
+        avg_lp = float(res.sum_logprob[i]) / n
+        if avg_lp < -1.0:
+            return True
+        ids = [int(t) for t in res.tokens[i, res.prompt_len: res.prompt_len + n]
+               if int(t) < self.engine.special.eot]
+        text = self._decode(ids).encode("utf-8")
+        if len(text) < 16:
+            return False
+        return len(text) / len(zlib.compress(text)) > 2.4
+
     def _format_output(self, tokens, token_ts_list, language, want_words,
                        token_logprobs: Optional[List[float]] = None):
         out: Dict[str, Any] = {"text": self._decode(tokens)}
@@ -279,6 +321,38 @@ class ASRPipeline:
                 chunks.append(chunk)
             out["chunks"] = chunks
         return out
+
+
+def _fallback_ladder(value) -> Optional[Tuple[float, ...]]:
+    """Normalize the generate_kwargs["fallback_temperatures"] option.
+
+    ``True`` selects the openai-whisper default ladder; a sequence is used
+    as-is; falsy disables the ladder (the reference protocol: plain greedy).
+    """
+    if not value:
+        return None
+    if value is True:
+        return (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    return tuple(float(t) for t in value)
+
+
+def _merge_result_rows(base, sub, idx: Sequence[int]):
+    """Overwrite rows ``idx`` of an EngineResult with a retry's rows."""
+    def put(a, b):
+        if a is None or b is None:
+            return a
+        a = np.array(a)
+        a[list(idx)] = b[: len(idx)]
+        return a
+
+    return base._replace(
+        tokens=put(base.tokens, sub.tokens),
+        num_generated=put(base.num_generated, sub.num_generated),
+        sum_logprob=put(base.sum_logprob, sub.sum_logprob),
+        align=put(base.align, sub.align),
+        token_logprobs=put(base.token_logprobs, sub.token_logprobs),
+        no_speech_prob=put(base.no_speech_prob, sub.no_speech_prob),
+    )
 
 
 def _pad_stack(windows: Sequence[np.ndarray], win: int) -> np.ndarray:
