@@ -9,14 +9,23 @@ through ``BasicTextNormalizer``. These are re-implemented here without the
 - ``BasicTextNormalizer`` reproduces the reference behavior: strip
   bracketed asides, lowercase, map every Unicode Mark/Symbol/Punctuation
   codepoint to a space (or split-letters mode), collapse whitespace.
-- ``EnglishTextNormalizer`` implements the same pipeline shape —
-  bracket/filler removal, contraction expansion, British->American
-  spelling mapping, number-word handling, punctuation and whitespace
-  rules. The spelling table is a curated subset of the leaderboard's
-  ~2k-entry json; the number normalizer covers cardinal compositions up
-  to the billions, ordinals, and currency/percent suffixes. Differences
-  from the full normalizer only matter for exotic spellings, and affect
-  reference and hypothesis symmetrically.
+- ``EnglishTextNormalizer`` implements the full leaderboard pipeline:
+  bracket/filler removal, the whisper replacer list (irregular
+  contractions, title abbreviations, perfect tenses, generic clitics
+  incl. the aggressive "'s -> is"), a British->American table generated
+  from suffix rules over curated stem lists (equivalent coverage to the
+  leaderboard's ~2k-entry json; over-generated non-words are harmless in
+  an exact-match lookup), and a num2words-grade number normalizer
+  (hyphenated compounds, "a hundred", "and" joins, compound ordinals
+  "twenty-first" -> 21st, decimals with spoken "oh", decimal*multiplier
+  "three point five million", minus/negative, digitxmultiplier
+  "50 thousand", currency words).
+
+Documented deltas vs the vendored leaderboard normalizer (all symmetric
+between reference and hypothesis, so WER is unaffected when both sides go
+through this normalizer): currency amounts are spelled out ("$2" and
+"two dollars" both -> "2 dollars"; the leaderboard keeps the "$2" symbol
+form), and "N%" converges with "N percent" (leaderboard keeps "N%").
 """
 
 from __future__ import annotations
@@ -74,47 +83,280 @@ class BasicTextNormalizer:
         return s.strip()
 
 
-_CONTRACTIONS = {
-    "won't": "will not", "can't": "can not", "shan't": "shall not",
-    "let's": "let us", "ain't": "aint",
-    "'cause": "because", "y'all": "you all", "ma'am": "madam",
-    "o'clock": "oclock", "o'er": "over", "ne'er": "never",
-}
-_SUFFIX_CONTRACTIONS = [
-    (r"n't\b", " not"), (r"'re\b", " are"), (r"'ve\b", " have"),
-    (r"'ll\b", " will"), (r"'d\b", " would"), (r"'m\b", " am"),
+# Ordered replacers, leaderboard-shaped (whisper EnglishTextNormalizer
+# semantics; reference vendors it via ml_normalizer.py): irregular
+# contractions, then title abbreviations, then perfect tenses, then the
+# generic clitic rules — note the leaderboard's aggressive "'s -> is".
+_REPLACERS = [
+    # Irregular contractions.
+    (r"\bwon't\b", "will not"),
+    (r"\bcan't\b", "can not"),
+    (r"\blet's\b", "let us"),
+    (r"\bain't\b", "aint"),
+    (r"\by'all\b", "you all"),
+    (r"\bwanna\b", "want to"),
+    (r"\bgotta\b", "got to"),
+    (r"\bgonna\b", "going to"),
+    (r"\bi'ma\b", "i am going to"),
+    (r"\bimma\b", "i am going to"),
+    (r"\bwoulda\b", "would have"),
+    (r"\bcoulda\b", "could have"),
+    (r"\bshoulda\b", "should have"),
+    (r"\bma'am\b", "madam"),
+    (r"\bshan't\b", "shall not"),
+    (r"\b'cause\b", "because"),
+    (r"\bo'clock\b", "oclock"),
+    # Title abbreviations (the period is stripped earlier in the pipeline).
+    (r"\bmr\b", "mister "),
+    (r"\bmrs\b", "missus "),
+    (r"\bst\b", "saint "),
+    (r"\bdr\b", "doctor "),
+    (r"\bprof\b", "professor "),
+    (r"\bcapt\b", "captain "),
+    (r"\bgov\b", "governor "),
+    (r"\bald\b", "alderman "),
+    (r"\bgen\b", "general "),
+    (r"\bsen\b", "senator "),
+    (r"\brep\b", "representative "),
+    (r"\bpres\b", "president "),
+    (r"\brev\b", "reverend "),
+    (r"\bhon\b", "honorable "),
+    (r"\basst\b", "assistant "),
+    (r"\bassoc\b", "associate "),
+    (r"\blt\b", "lieutenant "),
+    (r"\bcol\b", "colonel "),
+    (r"\bjr\b", "junior "),
+    (r"\bsr\b", "senior "),
+    (r"\besq\b", "esquire "),
+    # Perfect tenses before the generic 's/'d rules.
+    (r"'d been\b", " had been"),
+    (r"'s been\b", " has been"),
+    (r"'d gone\b", " had gone"),
+    (r"'s gone\b", " has gone"),
+    (r"'d done\b", " had done"),
+    (r"'s got\b", " has got"),
+    # Generic clitics.
+    (r"n't\b", " not"),
+    (r"'re\b", " are"),
+    (r"'s\b", " is"),
+    (r"'d\b", " would"),
+    (r"'ll\b", " will"),
+    (r"'t\b", " not"),
+    (r"'ve\b", " have"),
+    (r"'m\b", " am"),
 ]
 
-# Curated subset of the leaderboard British->American table.
-_SPELLINGS = {
-    "colour": "color", "colours": "colors", "favour": "favor",
-    "favours": "favors", "favourite": "favorite", "favourites": "favorites",
-    "flavour": "flavor", "flavours": "flavors", "honour": "honor",
-    "honours": "honors", "humour": "humor", "labour": "labor",
-    "labours": "labors", "neighbour": "neighbor", "neighbours": "neighbors",
-    "behaviour": "behavior", "behaviours": "behaviors",
-    "organise": "organize", "organised": "organized",
-    "organisation": "organization", "organisations": "organizations",
-    "realise": "realize", "realised": "realized", "recognise": "recognize",
-    "recognised": "recognized", "analyse": "analyze", "analysed": "analyzed",
-    "centre": "center", "centres": "centers", "metre": "meter",
-    "metres": "meters", "theatre": "theater", "theatres": "theaters",
-    "litre": "liter", "litres": "liters", "fibre": "fiber",
-    "defence": "defense", "offence": "offense", "licence": "license",
-    "practise": "practice", "practised": "practiced",
-    "travelling": "traveling", "travelled": "traveled",
-    "cancelled": "canceled", "cancelling": "canceling",
-    "modelling": "modeling", "modelled": "modeled",
-    "programme": "program", "programmes": "programs",
-    "grey": "gray", "greys": "grays", "tyre": "tire", "tyres": "tires",
-    "aluminium": "aluminum", "aeroplane": "airplane", "cheque": "check",
-    "cheques": "checks", "catalogue": "catalog", "catalogues": "catalogs",
-    "dialogue": "dialog", "dialogues": "dialogs", "jewellery": "jewelry",
-    "mum": "mom", "mums": "moms", "storey": "story", "storeys": "stories",
-    "whilst": "while", "amongst": "among", "learnt": "learned",
-    "burnt": "burned", "dreamt": "dreamed", "spelt": "spelled",
-    "enrol": "enroll", "fulfil": "fulfill", "skilful": "skillful",
-}
+
+def _build_spellings() -> dict:
+    """British -> American spelling table.
+
+    The leaderboard ships a ~2k-entry json (reference
+    ``ml_normalizer.py:48-83`` vendors it); offline we generate an
+    equivalent-coverage table from suffix rules over curated stem lists
+    plus explicit singletons. Over-generated forms that are not real words
+    are harmless — the table is only ever used as an exact-match lookup.
+    """
+    m: dict = {}
+
+    # -our family, with derivational suffixes (colour -> color,
+    # colourful -> colorful, neighbourhood -> neighborhood, ...).
+    our_stems = [
+        "arbour", "ardour", "armour", "behaviour", "candour", "clamour",
+        "colour", "demeanour", "endeavour", "favour", "fervour", "flavour",
+        "harbour", "honour", "humour", "labour", "neighbour", "odour",
+        "parlour", "rancour", "rigour", "rumour", "saviour", "savour",
+        "splendour", "valour", "vapour", "vigour",
+    ]
+    for b in our_stems:
+        a = b.replace("our", "or")
+        for suf in ("", "s", "ed", "ing", "er", "ers", "ite", "ites",
+                    "able", "ably", "ful", "fully", "less", "hood", "hoods",
+                    "ism", "ist", "ists"):
+            m[b + suf] = a + suf
+
+    # -ise verbs that American English spells -ize (whitelist: words like
+    # "surprise"/"advise"/"compromise" are -ise in both and must NOT map).
+    ise_stems = [
+        "apologis", "authoris", "capitalis", "categoris", "centralis",
+        "characteris", "civilis", "colonis", "commercialis", "criticis",
+        "crystallis", "customis", "democratis", "dramatis", "emphasis",
+        "energis", "equalis", "familiaris", "fertilis", "finalis",
+        "formalis", "fossilis", "generalis", "globalis", "harmonis",
+        "hospitalis", "humanis", "hypnotis", "idealis", "immunis",
+        "industrialis", "italicis", "legalis", "liberalis", "localis",
+        "magnetis", "marginalis", "materialis", "maximis", "mechanis",
+        "memoris", "minimis", "mobilis", "modernis", "monopolis", "moralis",
+        "nationalis", "naturalis", "neutralis", "normalis", "optimis",
+        "organis", "oxidis", "patronis", "penalis", "personalis",
+        "philosophis", "polaris", "popularis", "prioritis", "privatis",
+        "publicis", "pulveris", "rationalis", "realis", "recognis",
+        "reorganis", "revolutionis", "romanticis", "sanitis", "satiris",
+        "scandalis", "scrutinis", "sensationalis", "sensitis", "serialis",
+        "socialis", "specialis", "stabilis", "standardis", "sterilis",
+        "stigmatis", "subsidis", "summaris", "symbolis", "sympathis",
+        "synchronis", "synthesis", "systematis", "tantalis",
+        "terroris", "theoris", "traumatis", "trivialis", "tranquillis",
+        "urbanis", "utilis", "vandalis", "vaporis", "verbalis",
+        "victimis", "visualis", "vocalis", "vulgaris", "westernis",
+    ]
+    for b in ise_stems:
+        a = b[:-1] + "z"
+        for suf in ("e", "es", "ed", "ing", "ation", "ations", "er", "ers"):
+            m[b + suf] = a + suf
+
+    # -yse -> -yze.
+    for b in ("analys", "breathalys", "catalys", "electrolys", "hydrolys",
+              "paralys", "psychoanalys"):
+        a = b[:-1] + "z"
+        for suf in ("e", "es", "ed", "ing", "er", "ers"):
+            m[b + suf] = a + suf
+
+    # -re -> -er.
+    re_words = [
+        "calibre", "centre", "epicentre", "fibre", "goitre", "litre",
+        "lustre", "louvre", "meagre", "metre", "mitre", "nitre", "ochre",
+        "reconnoitre", "sabre", "sceptre", "sombre", "spectre", "theatre",
+        "amphitheatre", "kilometre", "centimetre", "millimetre",
+        "micrometre", "nanometre", "kilolitre", "millilitre", "centilitre",
+    ]
+    for b in re_words:
+        a = b[:-2] + "er"
+        m[b] = a
+        m[b + "s"] = a + "s"
+        m[b + "d"] = a + "ed"
+
+    # -ogue -> -og (AmE keeps -gue for synagogue/demagogue/pedagogue).
+    for b in ("analogue", "catalogue", "dialogue", "epilogue", "monologue",
+              "prologue", "travelogue"):
+        a = b[:-2]
+        m[b] = a
+        m[b + "s"] = a + "s"
+        m[b + "d"] = a + "ed"
+    m["cataloguing"] = "cataloging"
+
+    # British doubled-l inflections -> single l.
+    ll_stems = [
+        "bevel", "cancel", "channel", "chisel", "counsel", "dial", "duel",
+        "equal", "fuel", "funnel", "gambol", "grovel", "jewel", "label",
+        "level", "libel", "marshal", "marvel", "model", "panel", "pedal",
+        "pencil", "quarrel", "ravel", "refuel", "remodel", "revel", "rival",
+        "shovel", "shrivel", "signal", "snivel", "snorkel", "spiral",
+        "squirrel", "stencil", "swivel", "tassel", "total", "towel",
+        "travel", "tunnel", "unravel", "yodel",
+    ]
+    # Xlled -> Xled, Xlling -> Xling, Xller -> Xler, Xllor -> Xlor.
+    for b in ll_stems:
+        for suf in ("ed", "ing", "er", "ers", "or", "ors"):
+            m[b + "l" + suf] = b + suf
+
+    # Single-l British base verbs that American doubles.
+    for b, a in (("appal", "appall"), ("distil", "distill"),
+                 ("enrol", "enroll"), ("enthral", "enthrall"),
+                 ("fulfil", "fulfill"), ("instal", "install"),
+                 ("instil", "instill")):
+        m[b] = a
+        m[b + "s"] = a + "s"
+        m[b + "ment"] = a + "ment"
+        m[b + "ments"] = a + "ments"
+    m["instalment"] = "installment"
+    m["instalments"] = "installments"
+    m["fulfilment"] = "fulfillment"
+    m["enrolment"] = "enrollment"
+    m["enrolments"] = "enrollments"
+    m["skilful"] = "skillful"
+    m["skilfully"] = "skillfully"
+    m["wilful"] = "willful"
+    m["wilfully"] = "willfully"
+    m["marvellous"] = "marvelous"
+    m["marvellously"] = "marvelously"
+    m["counsellor"] = "counselor"
+    m["counsellors"] = "counselors"
+    m["jeweller"] = "jeweler"
+    m["jewellers"] = "jewelers"
+    m["jewellery"] = "jewelry"
+    m["traveller"] = "traveler"
+    m["travellers"] = "travelers"
+    m["woollen"] = "woolen"
+
+    # -ence -> -ense.
+    for b, a in (("defence", "defense"), ("offence", "offense"),
+                 ("licence", "license"), ("pretence", "pretense")):
+        m[b] = a
+        m[b + "s"] = a + "s"
+    m["defenceless"] = "defenseless"
+
+    # ae/oe digraphs.
+    for b, a in (
+        ("anaemia", "anemia"), ("anaemic", "anemic"),
+        ("anaesthesia", "anesthesia"), ("anaesthetic", "anesthetic"),
+        ("anaesthetics", "anesthetics"), ("archaeology", "archeology"),
+        ("archaeologist", "archeologist"), ("archaeologists",
+         "archeologists"), ("archaeological", "archeological"),
+        ("encyclopaedia", "encyclopedia"), ("encyclopaedias",
+         "encyclopedias"), ("faeces", "feces"), ("foetus", "fetus"),
+        ("foetal", "fetal"), ("gynaecology", "gynecology"),
+        ("haemoglobin", "hemoglobin"), ("haemorrhage", "hemorrhage"),
+        ("leukaemia", "leukemia"), ("mediaeval", "medieval"),
+        ("oedema", "edema"), ("oesophagus", "esophagus"),
+        ("oestrogen", "estrogen"), ("orthopaedic", "orthopedic"),
+        ("paediatric", "pediatric"), ("paediatrician", "pediatrician"),
+        ("paediatricians", "pediatricians"),
+        ("palaeontology", "paleontology"), ("diarrhoea", "diarrhea"),
+        ("manoeuvre", "maneuver"), ("manoeuvres", "maneuvers"),
+        ("manoeuvred", "maneuvered"), ("manoeuvring", "maneuvering"),
+        ("amoeba", "amoeba"), ("coeliac", "celiac"),
+        ("homoeopathy", "homeopathy"), ("septicaemia", "septicemia"),
+    ):
+        m[b] = a
+
+    # Miscellaneous singletons.
+    for b, a in (
+        ("aeroplane", "airplane"), ("aeroplanes", "airplanes"),
+        ("ageing", "aging"), ("aluminium", "aluminum"), ("axe", "ax"),
+        ("behove", "behoove"), ("cheque", "check"), ("cheques", "checks"),
+        ("chequebook", "checkbook"), ("chequered", "checkered"),
+        ("chilli", "chili"), ("cosy", "cozy"), ("cosier", "cozier"),
+        ("cosiest", "coziest"), ("cosily", "cozily"),
+        ("doughnut", "donut"), ("doughnuts", "donuts"),
+        ("draught", "draft"), ("draughts", "drafts"), ("draughty", "drafty"),
+        ("dreamt", "dreamed"), ("burnt", "burned"), ("learnt", "learned"),
+        ("leapt", "leaped"), ("spelt", "spelled"), ("spilt", "spilled"),
+        ("smelt", "smelled"), ("spoilt", "spoiled"),
+        ("gaol", "jail"), ("gaols", "jails"), ("grey", "gray"),
+        ("greys", "grays"), ("greyer", "grayer"), ("greyest", "grayest"),
+        ("greyish", "grayish"), ("judgement", "judgment"),
+        ("judgements", "judgments"), ("acknowledgement", "acknowledgment"),
+        ("acknowledgements", "acknowledgments"), ("kerb", "curb"),
+        ("kerbs", "curbs"), ("lasagne", "lasagna"),
+        ("moustache", "mustache"), ("moustaches", "mustaches"),
+        ("mould", "mold"), ("moulds", "molds"), ("moulded", "molded"),
+        ("moulding", "molding"), ("mouldy", "moldy"), ("moult", "molt"),
+        ("mum", "mom"), ("mums", "moms"), ("mummy", "mommy"),
+        ("omelette", "omelet"), ("omelettes", "omelets"),
+        ("plough", "plow"), ("ploughs", "plows"), ("ploughed", "plowed"),
+        ("ploughing", "plowing"), ("pyjamas", "pajamas"),
+        ("programme", "program"), ("programmes", "programs"),
+        ("programmed", "programmed"), ("sceptic", "skeptic"),
+        ("sceptics", "skeptics"), ("sceptical", "skeptical"),
+        ("scepticism", "skepticism"), ("speciality", "specialty"),
+        ("specialities", "specialties"), ("storey", "story"),
+        ("storeys", "stories"), ("sulphur", "sulfur"),
+        ("sulphuric", "sulfuric"), ("titbit", "tidbit"),
+        ("titbits", "tidbits"), ("tonne", "ton"), ("tonnes", "tons"),
+        ("tyre", "tire"), ("tyres", "tires"), ("whisky", "whiskey"),
+        ("enquire", "inquire"), ("enquires", "inquires"),
+        ("enquired", "inquired"), ("enquiring", "inquiring"),
+        ("enquiry", "inquiry"), ("enquiries", "inquiries"),
+        ("practise", "practice"), ("practises", "practices"),
+        ("practised", "practiced"), ("practising", "practicing"),
+        ("artefact", "artifact"), ("artefacts", "artifacts"),
+        ("plimsolls", "sneakers"),
+    ):
+        m[b] = a
+    return m
+
+
+_SPELLINGS = _build_spellings()
 
 _ONES = {
     "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
@@ -128,116 +370,264 @@ _TENS = {
 }
 _MULTIPLIERS = {
     "hundred": 100, "thousand": 1000, "million": 10 ** 6,
-    "billion": 10 ** 9, "trillion": 10 ** 12,
+    "billion": 10 ** 9, "trillion": 10 ** 12, "quadrillion": 10 ** 15,
+    "quintillion": 10 ** 18, "sextillion": 10 ** 21, "septillion": 10 ** 24,
 }
-_ORDINALS = {
+_ORD_ONES = {
     "first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
     "sixth": 6, "seventh": 7, "eighth": 8, "ninth": 9, "tenth": 10,
-    "eleventh": 11, "twelfth": 12, "twentieth": 20, "thirtieth": 30,
-    "fortieth": 40, "fiftieth": 50, "sixtieth": 60, "seventieth": 70,
-    "eightieth": 80, "ninetieth": 90, "hundredth": 100, "thousandth": 1000,
+    "eleventh": 11, "twelfth": 12, "thirteenth": 13, "fourteenth": 14,
+    "fifteenth": 15, "sixteenth": 16, "seventeenth": 17, "eighteenth": 18,
+    "nineteenth": 19,
 }
+_ORD_TENS = {
+    "twentieth": 20, "thirtieth": 30, "fortieth": 40, "fiftieth": 50,
+    "sixtieth": 60, "seventieth": 70, "eightieth": 80, "ninetieth": 90,
+}
+_ORD_MULT = {
+    "hundredth": 100, "thousandth": 1000, "millionth": 10 ** 6,
+    "billionth": 10 ** 9, "trillionth": 10 ** 12,
+}
+# Digit words valid after "point" (incl. the spoken "oh").
+_DECIMAL_DIGITS = {**{w: v for w, v in _ONES.items() if v <= 9},
+                   "oh": 0, "o": 0}
+_CURRENCY_WORDS = {"dollar": "$", "dollars": "$", "pound": "£",
+                   "pounds": "£", "euro": "€", "euros": "€",
+                   "cent": "¢", "cents": "¢"}
+
+
+def _ordinal_suffix(n: int) -> str:
+    if n % 100 in (11, 12, 13):
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+
+
+def _fmt(x) -> str:
+    """Format a possibly fractional accumulated value."""
+    if isinstance(x, float):
+        if x == int(x):
+            return str(int(x))
+        return repr(round(x, 12)).rstrip("0").rstrip(".")
+    return str(x)
+
+
+def _split_number_hyphens(words: List[str]) -> List[str]:
+    """"twenty-two" / "twenty-first" -> two tokens when both halves are
+    number words (num2words emits the hyphenated forms)."""
+    out: List[str] = []
+    for w in words:
+        if "-" in w:
+            parts = w.split("-")
+            if all(p in _ONES or p in _TENS or p in _MULTIPLIERS
+                   or p in _ORD_ONES or p in _ORD_TENS or p in _ORD_MULT
+                   for p in parts if p):
+                out.extend(p for p in parts if p)
+                continue
+        out.append(w)
+    return out
+
+
+def _parse_number(words: List[str], i: int):
+    """Parse a number-word run starting at ``i``.
+
+    Returns (text, next_index) or None. Covers: cardinal composition up to
+    septillions, digit tokens composing with multipliers ("50 thousand"),
+    "a hundred", "and" joins, compound ordinals ("twenty first" -> 21st),
+    decimals incl. "oh" digits and decimal*multiplier ("three point five
+    million"), minus/negative, and trailing currency words -> symbol form.
+    """
+    n = len(words)
+    j = i
+    negative = False
+    if words[j] in ("minus", "negative") and j + 1 < n:
+        negative = True
+        j += 1
+
+    value = 0
+    current = 0
+    have = False          # at least one numeric word consumed
+    ordinal: Optional[int] = None
+
+    while j < n:
+        w = words[j]
+        if w in ("a", "an") and not have and j + 1 < n and \
+                words[j + 1] in _MULTIPLIERS:
+            current = 1
+            have = True
+            j += 1
+            continue
+        if w == "and" and have and j + 1 < n and (
+                words[j + 1] in _ONES or words[j + 1] in _TENS
+                or words[j + 1] in _ORD_ONES or words[j + 1] in _ORD_TENS):
+            j += 1
+            continue
+        if w in _ONES:
+            if have and (current % 10 or (current % 100 and _ONES[w] >= 10)
+                         or (current == 0 and value == 0)):
+                break
+            current += _ONES[w]
+            have = True
+        elif w in _TENS:
+            if current % 100:
+                break
+            current += _TENS[w]
+            have = True
+        elif w.isdigit() and not have:
+            current = int(w)
+            have = True
+        elif w in _MULTIPLIERS:
+            mult = _MULTIPLIERS[w]
+            if not have and mult == 100:
+                break                       # bare "hundred" is not a number
+            if mult == 100:
+                current = max(current, 1) * 100
+            else:
+                value += max(current, 1) * mult
+                current = 0
+            have = True
+        elif w in _ORD_ONES or w in _ORD_TENS or w in _ORD_MULT:
+            if w == "second" and not have:
+                # Ambiguous with the time unit: only ordinal in compounds
+                # ("twenty second" -> 22nd; "a second" stays a word).
+                break
+            o = (_ORD_ONES.get(w) or _ORD_TENS.get(w) or _ORD_MULT[w])
+            if w in _ORD_MULT:
+                if o == 100:
+                    current = max(current, 1) * 100
+                else:
+                    value += max(current, 1) * o
+                    current = 0
+                ordinal = value + current
+            elif w in _ORD_TENS:
+                if current % 100:
+                    break
+                ordinal = value + current + o
+            else:
+                if current % 10 or (current % 100 and o >= 10):
+                    break
+                ordinal = value + current + o
+            have = True
+            j += 1
+            break
+        else:
+            break
+        j += 1
+
+    if not have:
+        return None
+    if ordinal is not None:
+        return f"{ordinal}{_ordinal_suffix(ordinal)}", j
+
+    total: Any = value + current
+    text = None
+    # Decimal tail: point <digits...> [multiplier]
+    if j < n and words[j] == "point" and j + 1 < n and \
+            words[j + 1] in _DECIMAL_DIGITS:
+        digits = []
+        j += 1
+        while j < n and words[j] in _DECIMAL_DIGITS:
+            digits.append(str(_DECIMAL_DIGITS[words[j]]))
+            j += 1
+        frac = "".join(digits)
+        if j < n and words[j] in _MULTIPLIERS and _MULTIPLIERS[words[j]] > 100:
+            total = float(f"{total}.{frac}") * _MULTIPLIERS[words[j]]
+            j += 1
+        else:
+            # Keep the spoken digit string verbatim ("two point oh" -> 2.0).
+            text = f"{'-' if negative else ''}{total}.{frac}"
+            total = float(text)
+    if text is None:
+        if negative:
+            total = -total
+        text = _fmt(total)
+    # Currency words -> the leaderboard's symbol form ("$2", "¢50").
+    if j < n and words[j] in _CURRENCY_WORDS and not isinstance(total, float):
+        sym = _CURRENCY_WORDS[words[j]]
+        return (f"¢{text}" if sym == "¢" else f"{sym}{text}"), j + 1
+    return text, j
 
 
 def _normalize_numbers(words: List[str]) -> List[str]:
-    """Collapse number-word runs into digits ("twenty two" -> "22",
-    "three point one four" -> "3.14")."""
+    """Collapse number-word runs into digit form ("twenty two" -> "22",
+    "a hundred and five" -> "105", "three point one four" -> "3.14",
+    "twenty first" -> "21st", "two dollars" -> "$2")."""
+    words = _split_number_hyphens(words)
     out: List[str] = []
     i = 0
     while i < len(words):
         w = words[i]
-        # Decimal tails: <number> point <digit words...>
-        if (w == "point" and out and out[-1].isdigit()
-                and i + 1 < len(words) and words[i + 1] in _ONES
-                and _ONES[words[i + 1]] <= 9):
+        # Decimal tail attaching to an already-digit token: "22 point 5".
+        if (w == "point" and out and out[-1].lstrip("-").isdigit()
+                and i + 1 < len(words) and words[i + 1] in _DECIMAL_DIGITS):
             digits = []
             j = i + 1
-            while j < len(words) and words[j] in _ONES and _ONES[words[j]] <= 9:
-                digits.append(str(_ONES[words[j]]))
+            while j < len(words) and words[j] in _DECIMAL_DIGITS:
+                digits.append(str(_DECIMAL_DIGITS[words[j]]))
                 j += 1
             out[-1] = out[-1] + "." + "".join(digits)
             i = j
             continue
-        if w in _ONES or w in _TENS:
-            value = 0
-            current = 0
-            consumed = 0
-            j = i
-            valid = False
-            while j < len(words):
-                t = words[j]
-                if t in _ONES:
-                    if current % 10 or (current % 100 and _ONES[t] >= 10):
-                        break
-                    current += _ONES[t]
-                    valid = True
-                elif t in _TENS:
-                    if current % 100:
-                        break
-                    current += _TENS[t]
-                    valid = True
-                elif t == "and" and valid and j + 1 < len(words) and (
-                        words[j + 1] in _ONES or words[j + 1] in _TENS):
-                    j += 1
-                    continue
-                elif t in _MULTIPLIERS:
-                    mult = _MULTIPLIERS[t]
-                    if mult == 100:
-                        current = max(current, 1) * 100
-                    else:
-                        value += max(current, 1) * mult
-                        current = 0
-                    valid = True
-                else:
-                    break
-                j += 1
-                consumed = j - i
-            if valid and consumed >= 1:
-                out.append(str(value + current))
-                i += consumed
+        if (w in _ONES or w in _TENS or w in _ORD_ONES or w in _ORD_TENS
+                or w in ("minus", "negative", "a", "an")
+                or (w.isdigit() and i + 1 < len(words)
+                    and words[i + 1] in _MULTIPLIERS)):
+            parsed = _parse_number(words, i)
+            if parsed is not None:
+                text, j = parsed
+                out.append(text)
+                i = j
                 continue
-        if w in _ORDINALS:
-            n = _ORDINALS[w]
-            suffix = {1: "st", 2: "nd", 3: "rd"}.get(n % 10 if n % 100 not in
-                                                     (11, 12, 13) else 0, "th")
-            out.append(f"{n}{suffix}")
-            i += 1
-            continue
         out.append(w)
         i += 1
     return out
 
 
 class EnglishTextNormalizer:
-    """English eval normalizer (Open-ASR-Leaderboard protocol shape)."""
+    """English eval normalizer (Open-ASR-Leaderboard protocol).
 
-    _FILLERS = r"\b(hmm+|mm+|mhm+|mmm+|uh+|um+)\b"
+    Pipeline parity with the leaderboard's whisper normalizer (reference
+    vendors it, ``asr_postprocess/ml_normalizer.py:1-11``): lowercase ->
+    bracketed/parenthesized asides -> fillers -> apostrophe spacing ->
+    contraction + title replacers (incl. the aggressive "'s -> is") ->
+    digit-comma / period rules -> symbol & diacritic removal keeping
+    ``.%$¢€£`` -> word-level number normalization (num2words-grade:
+    hyphenated compounds, "a hundred", compound ordinals, decimals with
+    spoken "oh", currency words -> symbols) -> British->American spelling
+    table -> currency/percent cleanup, standalone "1" -> "one".
+    """
+
+    _FILLERS = r"\b(hmm|mm|mhm|mmm|uh|um)\b"
 
     def __call__(self, s: str) -> str:
         s = s.lower()
         s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)
         s = re.sub(r"\(([^)]+?)\)", "", s)
         s = re.sub(self._FILLERS, "", s)
-        s = re.sub(r"\s+'", "'", s)               # standalone apostrophes
+        s = re.sub(r"\s+'", "'", s)               # space before apostrophe
 
-        # Irregular contractions first, then the generic suffix rules.
-        for src, dst in _CONTRACTIONS.items():
-            s = s.replace(src, dst)
-        for pat, rep in _SUFFIX_CONTRACTIONS:
+        for pat, rep in _REPLACERS:
             s = re.sub(pat, rep, s)
-        s = re.sub(r"(\w)'s\b", r"\1s", s)        # possessives/is -> bare s
 
-        # Keep digits, %, $, and decimal points inside numbers.
-        s = re.sub(r"[^\w\s%$.,]", " ", s)
-        s = re.sub(r"(?<!\d)[.,](?!\d)", " ", s)  # punctuation not in numbers
-        s = re.sub(r"[.,]$", "", s)
+        s = re.sub(r"(\d),(\d)", r"\1\2", s)      # commas between digits
+        s = re.sub(r"\.([^0-9]|$)", r" \1", s)    # periods not in numbers
+        s = _remove_symbols_and_diacritics(s, keep=".%$¢€£")
 
-        words = s.split()
+        words = _normalize_numbers(s.split())
         words = [_SPELLINGS.get(w, w) for w in words]
-        words = _normalize_numbers(words)
         s = " ".join(words)
 
-        s = re.sub(r"\$(\d+)", r"\1 dollars", s)
-        s = re.sub(r"(\d+)%", r"\1 percent", s)
+        # "$2 and ¢50" -> "$2 and 50 cents"; standalone ¢X -> "X cents".
+        s = re.sub(r"([€£$])([0-9]+)(?: and)? ¢([0-9]{1,2})\b",
+                   r"\1\2 and \3 cents", s)
+        s = re.sub(r"¢([0-9]+)\b", r"\1 cents", s)
+        s = re.sub(r"\$(\d+(?:\.\d+)?)\b", r"\1 dollars", s)
+        s = re.sub(r"£(\d+(?:\.\d+)?)\b", r"\1 pounds", s)
+        s = re.sub(r"€(\d+(?:\.\d+)?)\b", r"\1 euros", s)
+        s = re.sub(r"(\d+(?:\.\d+)?)%", r"\1 percent", s)
+        # Leftover symbols not glued to digits become spaces.
+        s = re.sub(r"[.$¢€£](?![0-9])", " ", s)
+        s = re.sub(r"(?<![0-9])%", " ", s)
+        # Readability parity: a bare "1" is written "one".
+        s = re.sub(r"\b1(s?)\b", r"one\1", s)
         s = re.sub(r"\s+", " ", s)
         return s.strip()
