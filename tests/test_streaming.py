@@ -217,17 +217,21 @@ def test_long_stream_soak_with_vad_and_real_model(tmp_path_factory):
     sr = 16000
     t_total = 0.0
     commits = []
-    # 60 s: 5 s speech-like bursts alternating with 5 s near-silence.
+    # 60 s: 5 s formant-synthesized speech alternating with 5 s
+    # near-silence — realistic input for the default (neural) VAD.
+    from thewhisper_tpu.streaming.vad_corpus import synth_speech
+
     for block in range(12):
         speech = block % 2 == 0
-        amp = 0.3 if speech else 0.0005
-        for _ in range(100):  # 0.05 s chunks
-            chunk = (amp * rng.standard_normal(800)).astype(np.float32)
-            if speech:
-                chunk += 0.2 * np.sin(
-                    2 * np.pi * 300 * (t_total + np.arange(800) / sr)
-                ).astype(np.float32)
-            c, a = sp(chunk)
+        if speech:
+            audio5, _ = synth_speech(rng, 5.0, sr)
+            audio5 = (0.5 * audio5 / (np.abs(audio5).max() + 1e-9)
+                      + 0.002 * rng.standard_normal(len(audio5))
+                      ).astype(np.float32)
+        else:
+            audio5 = (0.0005 * rng.standard_normal(5 * sr)).astype(np.float32)
+        for i in range(100):  # 0.05 s chunks
+            c, a = sp(audio5[i * 800: (i + 1) * 800])
             commits.extend(c)
             t_total += 0.05
 

@@ -1,0 +1,124 @@
+"""VAD accuracy and interface tests.
+
+VERDICT round 1 flagged the energy-heuristic VAD as the largest streaming
+fidelity risk and required a real model with measured accuracy. These
+tests evaluate the shipped trained NeuralVAD (and the EnergyVAD fallback,
+for the record) on a held-out synthetic corpus seed the trainer never saw,
+at the reference's operating threshold 0.1
+(reference ``streaming_pipeline.py:606-622``).
+"""
+
+import numpy as np
+import pytest
+
+from thewhisper_tpu.streaming.vad import (
+    EnergyVAD,
+    NeuralVAD,
+    make_vad,
+    neural_weights_available,
+)
+from thewhisper_tpu.streaming.vad_corpus import (
+    WINDOW,
+    corpus,
+    make_clip,
+    synth_negative,
+    synth_speech,
+)
+
+HELD_OUT_SEED = 4242      # never used by tools/train_vad.py
+
+
+def _score(vad, threshold: float, n_clips: int = 40, seed: int = HELD_OUT_SEED):
+    tp = fp = fn = tn = 0
+    for audio, labels, mask in corpus(seed, n_clips):
+        vad.reset_states()
+        for w in range(len(labels)):
+            prob = vad(audio[w * WINDOW: (w + 1) * WINDOW], 16000)
+            if mask[w] == 0:
+                continue
+            pred = prob > threshold
+            if labels[w]:
+                tp += pred
+                fn += not pred
+            else:
+                fp += pred
+                tn += not pred
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    return precision, recall, (tp, fp, fn, tn)
+
+
+def test_neural_vad_accuracy_at_reference_threshold():
+    assert neural_weights_available()
+    vad = NeuralVAD()
+    prec, rec, counts = _score(vad, threshold=0.1)
+    print(f"NeuralVAD @0.1: precision {prec:.3f} recall {rec:.3f} {counts}")
+    # Threshold 0.1 is the sensitive streaming gate: recall must be near
+    # perfect, precision strong.
+    assert rec >= 0.97, (prec, rec, counts)
+    assert prec >= 0.80, (prec, rec, counts)
+
+    prec5, rec5, counts5 = _score(vad, threshold=0.5)
+    print(f"NeuralVAD @0.5: precision {prec5:.3f} recall {rec5:.3f} {counts5}")
+    assert rec5 >= 0.90 and prec5 >= 0.85, (prec5, rec5, counts5)
+
+
+def test_energy_vad_accuracy_documented():
+    """The heuristic fallback's measured accuracy (for the record: it is
+    why NeuralVAD is the default). It must at least beat chance."""
+    prec, rec, counts = _score(EnergyVAD(), threshold=0.1)
+    print(f"EnergyVAD @0.1: precision {prec:.3f} recall {rec:.3f} {counts}")
+    assert rec >= 0.55 and prec >= 0.30, (prec, rec, counts)
+
+
+def test_neural_vad_rejects_tones_and_hum():
+    """Signals an energy gate passes but speech models must reject."""
+    vad = NeuralVAD()
+    rng = np.random.default_rng(7)
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    hum = (0.3 * (np.sin(2 * np.pi * 60 * t) + 0.5 * np.sin(2 * np.pi * 180 * t))
+           ).astype(np.float32)
+    for sig in (tone, hum):
+        vad.reset_states()
+        probs = [vad(sig[i: i + WINDOW]) for i in range(0, len(sig) - WINDOW, WINDOW)]
+        # Skip the first few windows while the LSTM state settles.
+        assert float(np.mean(np.asarray(probs[5:]) > 0.5)) < 0.2
+
+    speech, _ = synth_speech(rng, 4.0)
+    vad.reset_states()
+    probs = [vad(speech[i: i + WINDOW])
+             for i in range(0, len(speech) - WINDOW, WINDOW)]
+    assert float(np.mean(np.asarray(probs) > 0.1)) > 0.4  # pauses exist
+
+
+def test_neural_vad_stateful_and_resettable():
+    vad = NeuralVAD()
+    rng = np.random.default_rng(3)
+    speech, _ = synth_speech(rng, 1.0)
+    seq1 = [vad(speech[i: i + WINDOW]) for i in range(0, 8 * WINDOW, WINDOW)]
+    # Same windows again WITHOUT reset: LSTM state differs -> probs differ.
+    seq2 = [vad(speech[i: i + WINDOW]) for i in range(0, 8 * WINDOW, WINDOW)]
+    vad.reset_states()
+    seq3 = [vad(speech[i: i + WINDOW]) for i in range(0, 8 * WINDOW, WINDOW)]
+    assert seq1 == pytest.approx(seq3)       # reset restores determinism
+    assert all(0.0 <= p <= 1.0 for p in seq1 + seq2)
+    # Short final window is zero-padded, not an error.
+    assert 0.0 <= vad(speech[:100]) <= 1.0
+
+
+def test_make_vad_auto_prefers_neural(monkeypatch):
+    monkeypatch.delenv("SILERO_VAD_JIT", raising=False)
+    assert isinstance(make_vad("auto"), NeuralVAD)
+    assert isinstance(make_vad("energy"), EnergyVAD)
+    assert isinstance(make_vad("neural"), NeuralVAD)
+
+
+def test_corpus_shapes():
+    audio, labels, mask = make_clip(np.random.default_rng(0), seconds=2.0)
+    assert len(audio) == len(labels) * WINDOW
+    assert set(np.unique(labels)).issubset({0.0, 1.0})
+    assert set(np.unique(mask)).issubset({0.0, 1.0})
+    neg = synth_negative(np.random.default_rng(1), 1.0)
+    assert len(neg) == 16000

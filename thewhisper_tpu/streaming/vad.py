@@ -4,19 +4,105 @@ The reference loads Silero VAD from torch.hub at runtime
 (``streaming_pipeline.py:533-538``) and calls it statefully on exact
 512-sample windows at 16 kHz (``:589-622``), resetting via
 ``reset_states()`` (``:987-988``). This build has no network egress, so the
-default is a self-contained spectral-energy VAD with the same call
+default is :class:`NeuralVAD` — a Silero-shaped neural model (STFT
+features -> conv stack -> LSTM -> sigmoid, ~70k params) trained on the
+synthetic labeled corpus in ``vad_corpus.py`` (trainer:
+``tools/train_vad.py``; shipped weights: ``vad_weights.npz``; measured
+precision/recall in ``tests/test_vad.py``). All backends share the call
 contract: ``vad(chunk_512, sample_rate) -> float prob``, ``reset_states()``.
 
-If Silero weights are available locally (torch.hub cache or an explicit
-TorchScript file), ``make_vad`` wraps them behind the same interface.
+If real Silero weights are available locally (an explicit TorchScript
+file), ``make_vad`` prefers them behind the same interface.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Dict, Optional
 
 import numpy as np
+
+# NeuralVAD feature/model geometry (must match tools/train_vad.py).
+_N_FFT = 256
+_HOP = 128
+_N_FRAMES = 3          # frames at offsets 0/128/256 inside a 512 window
+_N_BINS = _N_FFT // 2 + 1
+_HIDDEN = 64
+_WEIGHTS_FILE = os.path.join(os.path.dirname(__file__), "vad_weights.npz")
+
+
+def vad_features(window: np.ndarray) -> np.ndarray:
+    """(512,) audio -> (129, 3) log-magnitude STFT features."""
+    hann = np.hanning(_N_FFT).astype(np.float32)
+    frames = np.stack([window[o: o + _N_FFT] for o in
+                       range(0, _N_FRAMES * _HOP, _HOP)])
+    mag = np.abs(np.fft.rfft(frames * hann, axis=-1)).astype(np.float32)
+    return np.log1p(mag).T                      # (129, 3)
+
+
+class NeuralVAD:
+    """Trained neural VAD: conv over STFT features + stateful LSTM.
+
+    Architecture (Silero-shaped, own design): per 512-sample window the
+    log-magnitude STFT (129 bins x 3 frames) runs through two k=3 convs
+    over the frame axis (129->64->64, ReLU), mean-pools over frames, and
+    steps one LSTM cell whose (h, c) persist across windows — the same
+    stateful-streaming contract as Silero. A linear head + sigmoid yields
+    P(speech).
+    """
+
+    WINDOW = 512
+
+    def __init__(self, params: Optional[Dict[str, np.ndarray]] = None,
+                 sample_rate: int = 16000):
+        if params is None:
+            with np.load(_WEIGHTS_FILE) as z:
+                params = {k: z[k] for k in z.files}
+        self.p = {k: np.asarray(v, np.float32) for k, v in params.items()}
+        self.sample_rate = sample_rate
+        self.reset_states()
+
+    def reset_states(self) -> None:
+        self._h = np.zeros(_HIDDEN, np.float32)
+        self._c = np.zeros(_HIDDEN, np.float32)
+        self._last = 0.0
+
+    @staticmethod
+    def _conv3(x: np.ndarray, w: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """x (Cin, T), w (Cout, Cin, 3), pad=1 over T -> (Cout, T)."""
+        xp = np.pad(x, ((0, 0), (1, 1)))
+        t = x.shape[1]
+        # Direct small-T computation: sum_k w[..., k] @ xp[:, k:k+T].
+        return b[:, None] + sum(
+            w[:, :, k] @ xp[:, k: k + t] for k in range(3))
+
+    def __call__(self, chunk: np.ndarray, sample_rate: Optional[int] = None) -> float:
+        x = np.asarray(chunk, np.float32).reshape(-1)
+        if len(x) < self.WINDOW:
+            x = np.pad(x, (0, self.WINDOW - len(x)))
+        p = self.p
+        f = vad_features(x[: self.WINDOW])                 # (129, 3)
+        h1 = np.maximum(self._conv3(f, p["conv1_w"], p["conv1_b"]), 0.0)
+        h2 = np.maximum(self._conv3(h1, p["conv2_w"], p["conv2_b"]), 0.0)
+        feat = h2.mean(axis=1)                             # (64,)
+        gates = feat @ p["lstm_wx"] + self._h @ p["lstm_wh"] + p["lstm_b"]
+        i, fg, g, o = np.split(gates, 4)
+        i = 1.0 / (1.0 + np.exp(-i))
+        fg = 1.0 / (1.0 + np.exp(-fg))
+        o = 1.0 / (1.0 + np.exp(-o))
+        g = np.tanh(g)
+        self._c = fg * self._c + i * g
+        self._h = o * np.tanh(self._c)
+        z = float(self._h @ p["out_w"][:, 0] + p["out_b"][0])
+        self._last = float(1.0 / (1.0 + np.exp(-z)))
+        return self._last
+
+    def item(self) -> float:  # pragma: no cover - API-shape compatibility
+        return self._last
+
+
+def neural_weights_available() -> bool:
+    return os.path.exists(_WEIGHTS_FILE)
 
 
 class EnergyVAD:
@@ -87,7 +173,13 @@ class _SileroWrapper:
 
 
 def make_vad(kind: str = "auto", sample_rate: int = 16000):
-    """Build a VAD: "energy" (default), "silero" (local weights), "auto"."""
+    """Build a VAD.
+
+    "auto" (default) prefers a local Silero TorchScript file
+    (``SILERO_VAD_JIT``), then the shipped trained :class:`NeuralVAD`,
+    then the :class:`EnergyVAD` heuristic. Explicit kinds: "silero",
+    "neural", "energy".
+    """
     if kind in ("silero", "auto"):
         path = os.environ.get("SILERO_VAD_JIT", "")
         if path and os.path.exists(path):
@@ -97,4 +189,11 @@ def make_vad(kind: str = "auto", sample_rate: int = 16000):
         if kind == "silero":
             raise FileNotFoundError(
                 "Silero VAD requested but SILERO_VAD_JIT not set/found")
+    if kind in ("neural", "auto"):
+        if neural_weights_available():
+            return NeuralVAD(sample_rate=sample_rate)
+        if kind == "neural":
+            raise FileNotFoundError(
+                "NeuralVAD requested but vad_weights.npz is missing — run "
+                "tools/train_vad.py")
     return EnergyVAD(sample_rate=sample_rate)
