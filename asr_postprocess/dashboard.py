@@ -1,9 +1,13 @@
-"""Static HTML error-analysis report (streamlit-free dashboard).
+"""Interactive single-file HTML error-analysis dashboard (streamlit-free).
 
-The reference dashboard is a Streamlit app (``dashboard.py:641-702``: WER
-chart, S/D/I table, 12-category chart, diff browser). Streamlit is not in
-this image, so the same views render to a single self-contained HTML file
-(inline SVG bar charts, a sortable sample table, word-level diffs).
+The reference dashboard is a 705-line Streamlit app (``dashboard.py``:
+WER chart, S/D/I table, 12-category error chart, diff browser with
+filters and inline audio playback). Streamlit is not in this image, so
+the same interactions render into ONE self-contained HTML file with
+vanilla JS: every sample is embedded as JSON and the browser does the
+filtering (category drill-down by clicking a bar, WER range, free-text
+search), sorting, pagination, a WER histogram, word-level diffs, and
+audio playback — no server, no dependencies, works from ``file://``.
 """
 
 from __future__ import annotations
@@ -15,6 +19,7 @@ from typing import Any, Dict, List
 
 
 def _bar_chart_svg(items: List, width: int = 640, bar_h: int = 22) -> str:
+    """Server-rendered category chart; each bar is a drill-down button."""
     if not items:
         return "<p>(no data)</p>"
     max_v = max(v for _, v in items) or 1
@@ -22,24 +27,103 @@ def _bar_chart_svg(items: List, width: int = 640, bar_h: int = 22) -> str:
     for i, (label, value) in enumerate(items):
         w = int((width - 220) * value / max_v)
         y = i * (bar_h + 6)
+        esc = html.escape(str(label))
         rows.append(
-            f'<text x="0" y="{y + 15}" font-size="12">{html.escape(str(label))}</text>'
+            f'<g class="catbar" data-cat="{esc}" style="cursor:pointer">'
+            f'<text x="0" y="{y + 15}" font-size="12">{esc}</text>'
             f'<rect x="200" y="{y}" width="{max(w, 1)}" height="{bar_h}" fill="#4a7fb5"/>'
-            f'<text x="{205 + w}" y="{y + 15}" font-size="12">{value:.2f}</text>'
+            f'<text x="{205 + w}" y="{y + 15}" font-size="12">{value:.0f}</text></g>'
         )
     h = len(items) * (bar_h + 6)
     return f'<svg width="{width}" height="{h}">{"".join(rows)}</svg>'
 
 
-def _diff_html(sample: Dict[str, Any]) -> str:
-    parts = []
-    for m in sample.get("mismatches", []):
-        ref = " ".join(m["ref_words"]) or "∅"
-        hyp = " ".join(m["hyp_words"]) or "∅"
-        parts.append(
-            f'<span class="diff" title="{html.escape(m.get("category") or "")}">'
-            f'<del>{html.escape(ref)}</del>→<ins>{html.escape(hyp)}</ins></span>')
-    return " ".join(parts) if parts else '<em>perfect</em>'
+def _wer_histogram_svg(wers: List[float], width: int = 640,
+                       height: int = 120) -> str:
+    if not wers:
+        return "<p>(no data)</p>"
+    edges = [0, 5, 10, 20, 30, 50, 75, 100, 1e9]
+    labels = ["0-5", "5-10", "10-20", "20-30", "30-50", "50-75", "75-100",
+              ">100"]
+    counts = [0] * (len(edges) - 1)
+    for w in wers:
+        for i in range(len(edges) - 1):
+            if edges[i] <= w < edges[i + 1]:
+                counts[i] += 1
+                break
+    max_c = max(counts) or 1
+    bw = width // len(counts)
+    bars = []
+    for i, c in enumerate(counts):
+        bh = int((height - 30) * c / max_c)
+        x = i * bw
+        bars.append(
+            f'<rect x="{x + 4}" y="{height - 18 - bh}" width="{bw - 8}" '
+            f'height="{max(bh, 1)}" fill="#7aa45e"/>'
+            f'<text x="{x + bw // 2}" y="{height - 4}" font-size="10" '
+            f'text-anchor="middle">{labels[i]}</text>'
+            f'<text x="{x + bw // 2}" y="{height - 22 - bh}" font-size="10" '
+            f'text-anchor="middle">{c}</text>')
+    return f'<svg width="{width}" height="{height}">{"".join(bars)}</svg>'
+
+
+_PAGE_JS = """
+const PAGE = 25;
+let state = {cat: "", q: "", wmin: 0, wmax: 1e9, sort: "wer", dir: -1, page: 0};
+function diffHtml(s) {
+  if (!s.mismatches || !s.mismatches.length) return "<em>perfect</em>";
+  return s.mismatches.map(m => {
+    const ref = (m.ref_words || []).join(" ") || "\\u2205";
+    const hyp = (m.hyp_words || []).join(" ") || "\\u2205";
+    const cat = m.category || "";
+    return `<span class="diff" title="${esc(cat)}"><del>${esc(ref)}</del>\\u2192<ins>${esc(hyp)}</ins></span>`;
+  }).join(" ");
+}
+function esc(t) { const d = document.createElement("div"); d.innerText = t == null ? "" : String(t); return d.innerHTML; }
+function matches(s) {
+  if (s.wer < state.wmin || s.wer > state.wmax) return false;
+  if (state.cat && !(s.mismatches || []).some(m => (m.category || "OTHER") === state.cat)) return false;
+  if (state.q) {
+    const q = state.q.toLowerCase();
+    if (!(s.ref || "").toLowerCase().includes(q) && !(s.hyp || "").toLowerCase().includes(q)) return false;
+  }
+  return true;
+}
+function render() {
+  const rows = SAMPLES.map((s, i) => [s, i]).filter(([s]) => matches(s));
+  rows.sort(([a], [b]) => state.dir * ((a[state.sort] ?? 0) > (b[state.sort] ?? 0) ? 1 : -1));
+  const start = state.page * PAGE;
+  const page = rows.slice(start, start + PAGE);
+  document.getElementById("count").innerText =
+    `${rows.length} / ${SAMPLES.length} samples` + (state.cat ? ` \\u00b7 category: ${state.cat}` : "");
+  const frag = page.map(([s, i]) => `
+    <tr><td>${i}</td><td>${s.wer.toFixed(1)}</td>
+    <td>${s.subs}/${s.dels}/${s.ins}</td>
+    <td>${esc((s.ref || "").slice(0, 160))}${s.audio_asset ? `<br><audio controls preload="none" src="${esc(s.audio_asset)}"></audio>` : ""}</td>
+    <td>${diffHtml(s)}</td></tr>`).join("");
+  document.getElementById("rows").innerHTML = frag;
+  const pages = Math.max(1, Math.ceil(rows.length / PAGE));
+  document.getElementById("page").innerText = `page ${state.page + 1}/${pages}`;
+}
+function init() {
+  document.querySelectorAll(".catbar").forEach(g => g.addEventListener("click", () => {
+    state.cat = state.cat === g.dataset.cat ? "" : g.dataset.cat; state.page = 0; render();
+  }));
+  document.getElementById("q").addEventListener("input", e => { state.q = e.target.value; state.page = 0; render(); });
+  document.getElementById("wmin").addEventListener("input", e => { state.wmin = +e.target.value || 0; state.page = 0; render(); });
+  document.getElementById("wmax").addEventListener("input", e => { state.wmax = e.target.value === "" ? 1e9 : +e.target.value; state.page = 0; render(); });
+  document.getElementById("clear").addEventListener("click", () => { state = {...state, cat: "", q: "", wmin: 0, wmax: 1e9, page: 0};
+    document.getElementById("q").value = ""; document.getElementById("wmin").value = ""; document.getElementById("wmax").value = ""; render(); });
+  document.getElementById("prev").addEventListener("click", () => { if (state.page > 0) { state.page--; render(); } });
+  document.getElementById("next").addEventListener("click", () => { state.page++; render(); });
+  document.querySelectorAll("th[data-sort]").forEach(th => th.addEventListener("click", () => {
+    const k = th.dataset.sort;
+    state.dir = state.sort === k ? -state.dir : -1; state.sort = k; render();
+  }));
+  render();
+}
+document.addEventListener("DOMContentLoaded", init);
+"""
 
 
 def render_report(analyses: List[Dict[str, Any]], title: str = "ASR error report",
@@ -54,39 +138,47 @@ def render_report(analyses: List[Dict[str, Any]], title: str = "ASR error report
     cats = Counter(
         m.get("category") or "OTHER"
         for a in analyses for m in a.get("mismatches", []))
-    worst = sorted(analyses, key=lambda a: -a["wer"])[:50]
 
-    def _audio_cell(a):
-        asset = a.get("audio_asset")
-        if not asset:
-            return ""
-        return f'<br><audio controls src="{html.escape(asset)}"></audio>'
-
-    rows = "".join(
-        f"<tr><td>{i}</td><td>{a['wer']:.1f}</td>"
-        f"<td>{a['subs']}/{a['dels']}/{a['ins']}</td>"
-        f"<td>{html.escape(a['ref'][:120])}{_audio_cell(a)}</td>"
-        f"<td>{_diff_html(a)}</td></tr>"
-        for i, a in enumerate(worst))
+    payload = json.dumps([
+        {k: a.get(k) for k in ("wer", "subs", "dels", "ins", "ref", "hyp",
+                               "mismatches", "audio_asset", "duration")}
+        for a in analyses
+    ]).replace("</", "<\\/")
 
     doc = f"""<!doctype html><html><head><meta charset="utf-8">
 <title>{html.escape(title)}</title>
 <style>
-body {{ font-family: system-ui, sans-serif; margin: 2em; max-width: 1100px; }}
+body {{ font-family: system-ui, sans-serif; margin: 2em; max-width: 1150px; }}
 table {{ border-collapse: collapse; width: 100%; font-size: 13px; }}
 td, th {{ border: 1px solid #ddd; padding: 4px 8px; vertical-align: top; }}
+th[data-sort] {{ cursor: pointer; background: #f4f4f4; }}
 del {{ color: #b44; }} ins {{ color: #2a7; text-decoration: none; }}
 .diff {{ margin-right: .6em; white-space: nowrap; }}
+.controls input {{ margin-right: 1em; }} button {{ margin-right: .5em; }}
 </style></head><body>
 <h1>{html.escape(title)}</h1>
 <p><b>{n}</b> samples &middot; corpus WER <b>{corpus_wer:.2f}%</b>
  &middot; S/D/I {sum(a['subs'] for a in analyses)}/
 {sum(a['dels'] for a in analyses)}/{sum(a['ins'] for a in analyses)}</p>
-<h2>Error categories</h2>
+<h2>WER distribution</h2>
+{_wer_histogram_svg([a['wer'] for a in analyses])}
+<h2>Error categories <small>(click a bar to drill down)</small></h2>
 {_bar_chart_svg(sorted(cats.items(), key=lambda kv: -kv[1]))}
-<h2>Worst samples</h2>
-<table><tr><th>#</th><th>WER%</th><th>S/D/I</th><th>reference</th>
-<th>mismatches</th></tr>{rows}</table>
+<h2>Samples</h2>
+<div class="controls">
+  <input id="q" placeholder="search ref/hyp text">
+  WER <input id="wmin" type="number" placeholder="min" style="width:4em">
+  &ndash; <input id="wmax" type="number" placeholder="max" style="width:4em">
+  <button id="clear">clear filters</button>
+  <button id="prev">&laquo; prev</button><span id="page"></span>
+  <button id="next">next &raquo;</button>
+  <span id="count"></span>
+</div>
+<table><thead><tr><th>#</th><th data-sort="wer">WER% &#8597;</th>
+<th data-sort="subs">S/D/I &#8597;</th><th>reference</th><th>mismatches</th>
+</tr></thead><tbody id="rows"></tbody></table>
+<script>const SAMPLES = {payload};</script>
+<script>{_PAGE_JS}</script>
 </body></html>"""
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -102,6 +102,34 @@ def test_engine_bucketing_and_padding(tiny):
     np.testing.assert_array_equal(res1.tokens[0], res.tokens[0])
 
 
+def test_transcribe_audio_matches_featurized(tiny):
+    """The fused audio->tokens program is numerically identical to
+    featurize-then-transcribe_features (same XLA math, one device call)."""
+    from thewhisper_tpu.audio.features import LogMelFeaturizer
+
+    _, arch, params = tiny
+    sp = SpecialTokens(
+        eot=1, sot=2, first_language=10, n_languages=5,
+        translate=20, transcribe=21, no_speech=22, no_timestamps=23,
+        timestamp_begin=24,
+    )
+    eng = WhisperEngine(params, arch, special=sp, batch_buckets=(1, 2))
+    rng = np.random.default_rng(5)
+    # arch.max_source_positions=50 -> 1 s chunk (100 mel frames).
+    audio = (0.1 * rng.standard_normal((2, 16000))).astype(np.float32)
+    feat = LogMelFeaturizer(n_mels=80, chunk_length_s=1.0, use_pallas=False)
+    opts = GenerationOptions(max_new_tokens=6, language="en",
+                             return_timestamps=True)
+
+    r_mel = eng.transcribe_features(np.asarray(feat(audio)), opts)
+    r_aud = eng.transcribe_audio(audio, opts, use_pallas=False)
+    np.testing.assert_array_equal(r_aud.tokens, r_mel.tokens)
+    np.testing.assert_array_equal(r_aud.num_generated, r_mel.num_generated)
+    np.testing.assert_allclose(r_aud.align, r_mel.align, atol=1e-5)
+    np.testing.assert_allclose(r_aud.token_logprobs, r_mel.token_logprobs,
+                               atol=1e-5)
+
+
 def test_engine_suppress_tokens(tiny):
     _, arch, params = tiny
     sp = SpecialTokens(

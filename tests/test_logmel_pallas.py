@@ -60,3 +60,30 @@ def test_featurizer_uses_pallas_flag():
     ref = np.asarray(
         LogMelFeaturizer(n_mels=128, chunk_length_s=10.0, use_pallas=False)(_sig(4.0)))
     np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_pallas_inside_outer_jit_no_tracer_leak():
+    """log_mel_pallas must be callable inside an enclosing jit (the
+    engine's fused audio program) across MULTIPLE trace events: the
+    constant-bank cache must never capture a tracer from one trace and
+    reuse it in the next (regression for an UnexpectedTracerError)."""
+    import jax
+    import jax.numpy as jnp
+
+    fb = jnp.asarray(mel_filter_bank(num_mel_filters=128))
+    win = jnp.asarray(hann_window())
+
+    def make(fn_len):
+        @jax.jit
+        def prog(audio):
+            return log_mel_pallas(audio, fb, win, interpret=True)
+        return prog
+
+    a10 = jnp.asarray(_sig(10.0)[None])
+    a30 = jnp.asarray(_sig(30.0)[None])
+    m10 = np.asarray(make(10)(a10))       # first trace fills the cache
+    m30 = np.asarray(make(30)(a30))       # second, different-shape trace
+    ref10 = np.asarray(log_mel_spectrogram(a10, fb, win))
+    ref30 = np.asarray(log_mel_spectrogram(a30, fb, win))
+    np.testing.assert_allclose(m10, ref10, atol=2e-4)
+    np.testing.assert_allclose(m30, ref30, atol=2e-4)

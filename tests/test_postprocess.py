@@ -111,10 +111,70 @@ def test_optimize_prompt_with_fake_llm():
         [{"ref": "the cat sat", "hyp": "teh cat sat"}] * 6
         + [{"ref": "a clean one", "hyp": "a clean one"}] * 6
     )
-    best, best_wer, trials = optimize_prompt(llm, samples, n_dev=8, seed=0)
+    best, best_wer, trials = optimize_prompt(
+        llm, samples, n_dev=8, seed=0, proposer=False, max_demos=0)
     assert best is not None and "typos" in best
     assert best_wer == 0.0
     assert len(trials) == 9
+
+
+def test_optimize_prompt_instruction_proposal_and_demos():
+    """The MIPROv2-style stages: proposer-LLM instructions grounded in
+    observed errors enter the search, and bootstrapped few-shot demos are
+    tried under the winning instruction."""
+    from asr_postprocess.optimize_prompt import (
+        bootstrap_demos,
+        propose_instructions,
+        render_template,
+    )
+
+    # Correction LLM: perfect only under the proposed magic instruction;
+    # the seed instructions' "typos" fixes teh->the but not "wrld".
+    def llm(prompt):
+        hyp = prompt.rsplit("TRANSCRIPTION:", 1)[-1].strip()
+        out = hyp
+        if "typos" in prompt:
+            out = out.replace("teh", "the")
+        if "MAGIC-RULE" in prompt:
+            out = out.replace("teh", "the").replace("wrld", "world")
+        return out
+
+    # Proposer LLM: returns a numbered list; one candidate carries the
+    # magic marker. It must see the observed errors in its prompt.
+    seen_evidence = {}
+
+    def proposer(prompt):
+        seen_evidence["has_pairs"] = ("ASR OUTPUT" in prompt
+                                      and "CORRECT" in prompt)
+        return ("1. Please fix transcription mistakes using the MAGIC-RULE "
+                "of this domain without paraphrasing anything at all.\n"
+                "2. Repair the text gently and never ever paraphrase any "
+                "content words.\n")
+
+    samples = (
+        [{"ref": "the world is", "hyp": "teh wrld is"}] * 6
+        + [{"ref": "a clean one", "hyp": "a clean one"}] * 6
+    )
+    dev = samples[:8]
+    props = propose_instructions(proposer, dev, n=4)
+    assert len(props) == 2 and "MAGIC-RULE" in props[0]
+    assert seen_evidence["has_pairs"]
+
+    best, best_wer, trials = optimize_prompt(
+        llm, samples, n_dev=8, seed=0, proposer=proposer)
+    assert best is not None and "MAGIC-RULE" in best
+    assert best_wer == 0.0
+    # 3 seeds + 2 proposals, x3 modifiers (+ possible demo trial).
+    assert len(trials) >= 15
+
+    # Demo bootstrapping: a dirty pair the prompt fixes becomes a demo.
+    base = render_template("Fix typos please and thanks kindly today.",
+                           "Do not paraphrase anything in the text.")
+    demos = bootstrap_demos(llm, [{"ref": "the cat", "hyp": "teh cat"}],
+                            base, max_demos=2)
+    assert demos == [{"hyp": "teh cat", "ref": "the cat"}]
+    t = render_template("A {weird} instruction.", "No change.", demos)
+    assert t.format(hyp="x")   # demo/instruction braces are escaped
 
 
 def test_stratified_split():

@@ -48,16 +48,42 @@ def _words(*texts):
 def test_stdout_stream_rendering():
     buf = io.StringIO()
     out = StdoutStream(file=buf)
-    out.write(_words(" hello"), _words(" wor"))
+    out.write(_words(" hello"), _words(" wax"))
     out.write(_words(), _words(" world"))      # assumption rewritten
-    out.write(_words(" world"), _words())      # then committed
-    out.close()
+    out.write(_words(" world"), _words(" tail"))  # committed + new tail
+    out.close()                                # drops the " tail" remnant
     text = buf.getvalue()
-    # Committed text appears; backspaces erase the old assumption.
+    # Backspaces + clear-to-eol erase the divergent assumption; only the
+    # changed suffix is ever rewritten (so " world" need not appear as a
+    # contiguous substring of the byte stream).
     assert " hello" in text
-    assert " world" in text
-    assert "\b" in text
+    assert "\b" in text and "\x1b[K" in text
     assert text.endswith("\n\x1b[?25h")        # cursor restored on close
+    # The final on-screen line is exactly the committed text: replaying
+    # the ANSI stream (chars, backspaces, clear-to-eol) proves it.
+    line, cur = [], 0
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if text.startswith("\x1b[K", i):
+            del line[cur:]
+            i += 3
+            continue
+        if text.startswith("\x1b[?25l", i) or text.startswith("\x1b[?25h", i):
+            i += 6
+            continue
+        if ch == "\b":
+            cur -= 1
+        elif ch == "\n":
+            break
+        else:
+            if cur < len(line):
+                line[cur] = ch
+            else:
+                line.append(ch)
+            cur += 1
+        i += 1
+    assert "".join(line) == " hello world"
 
 
 def test_stdout_stream_noop_on_empty():

@@ -126,16 +126,10 @@ class WhisperEngine:
 
     # -- compiled program ----------------------------------------------------
 
-    def _generate_fn(self, batch: int, t_mel: int, prompt_len: int,
-                     max_new: int, timestamps: bool, num_beams: int = 1,
-                     temperature: float = 0.0):
-        key = (batch, t_mel, prompt_len, max_new, timestamps, num_beams,
-               temperature)
-        with self._lock:
-            fn = self._jit_cache.get(key)
-        if fn is not None:
-            return fn
-
+    def _program_body(self, batch: int, prompt_len: int, max_new: int,
+                      timestamps: bool, num_beams: int, temperature: float):
+        """The mel -> decode-result device program (shared by the
+        mel-input and fused audio-input entry points)."""
         arch = self.arch
         compute_dtype = self.compute_dtype
         cache_dtype = self.cache_dtype
@@ -163,24 +157,89 @@ class WhisperEngine:
                 cache = make_cache(
                     arch, batch * num_beams, prompt_len + max_new,
                     ck_b, cv_b, dtype=cache_dtype)
-                return beam_decode(
+                res = beam_decode(
                     params, arch, prompt, cache, num_beams, max_new, eot,
                     suppress=suppress, begin_suppress=begin_suppress,
                     compute_dtype=compute_dtype,
                     capture_alignment=timestamps,
                     no_speech_id=self.special.no_speech)
-            if not cross_kv_int8:
-                ck = ck.astype(cache_dtype)
-                cv = cv.astype(cache_dtype)
-            cache = make_cache(
-                arch, batch, prompt_len + max_new, ck, cv,
-                dtype=cache_dtype)
-            return greedy_decode(
-                params, arch, prompt, cache, max_new, eot,
-                suppress=suppress, begin_suppress=begin_suppress,
-                capture_alignment=timestamps, compute_dtype=compute_dtype,
-                no_speech_id=self.special.no_speech,
-                temperature=temperature, rng_seed=seed)
+            else:
+                if not cross_kv_int8:
+                    ck = ck.astype(cache_dtype)
+                    cv = cv.astype(cache_dtype)
+                cache = make_cache(
+                    arch, batch, prompt_len + max_new, ck, cv,
+                    dtype=cache_dtype)
+                res = greedy_decode(
+                    params, arch, prompt, cache, max_new, eot,
+                    suppress=suppress, begin_suppress=begin_suppress,
+                    capture_alignment=timestamps, compute_dtype=compute_dtype,
+                    no_speech_id=self.special.no_speech,
+                    temperature=temperature, rng_seed=seed)
+            if timestamps:
+                # Ship the alignment buffer at compute precision: halves
+                # the device->host transfer in bf16 mode (the reference's
+                # fp16 attention is no more precise; DTW runs in f32 after
+                # z-norm on host).
+                res = res._replace(align=res.align.astype(compute_dtype))
+            return res
+
+        return program
+
+    def _generate_fn(self, batch: int, t_mel: int, prompt_len: int,
+                     max_new: int, timestamps: bool, num_beams: int = 1,
+                     temperature: float = 0.0):
+        key = (batch, t_mel, prompt_len, max_new, timestamps, num_beams,
+               temperature)
+        with self._lock:
+            fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        fn = jax.jit(self._program_body(
+            batch, prompt_len, max_new, timestamps, num_beams, temperature))
+        with self._lock:
+            self._jit_cache[key] = fn
+        return fn
+
+    def _generate_from_audio_fn(self, batch: int, n_samples: int,
+                                prompt_len: int, max_new: int,
+                                timestamps: bool, num_beams: int = 1,
+                                temperature: float = 0.0,
+                                use_pallas: Optional[bool] = None):
+        """Fused program: raw audio -> log-mel -> encode -> decode.
+
+        One device call per transcription instead of two (featurize +
+        generate): on tunneled TPUs this removes a host round trip AND the
+        mel's double crossing of the link (device->host->device, ~1 MB for
+        a 10 s window)."""
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        key = ("audio", batch, n_samples, prompt_len, max_new, timestamps,
+               num_beams, temperature, use_pallas)
+        with self._lock:
+            fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+
+        from thewhisper_tpu.audio.features import (
+            hann_window,
+            log_mel_spectrogram,
+            mel_filter_bank,
+        )
+
+        mel_fb = jnp.asarray(mel_filter_bank(num_mel_filters=self.arch.n_mels))
+        window = jnp.asarray(hann_window())
+        body = self._program_body(
+            batch, prompt_len, max_new, timestamps, num_beams, temperature)
+
+        def program(params, audio, prompt, seed):
+            if use_pallas:
+                from thewhisper_tpu.ops.logmel_pallas import log_mel_pallas
+
+                mel = log_mel_pallas(audio, mel_fb, window)
+            else:
+                mel = log_mel_spectrogram(audio, mel_fb, window)
+            return body(params, mel, prompt, seed)
 
         fn = jax.jit(program)
         with self._lock:
@@ -220,14 +279,16 @@ class WhisperEngine:
         mel: np.ndarray,                    # (B, n_mels, T_mel)
         options: GenerationOptions,
     ) -> EngineResult:
-        mel = np.asarray(mel, dtype=np.float32)
+        if not isinstance(mel, jax.Array):
+            mel = np.asarray(mel, dtype=np.float32)
         if mel.ndim == 2:
             mel = mel[None]
         b = mel.shape[0]
         bb = _bucket_batch(b, self.batch_buckets)
         if bb != b:
             mel = np.concatenate(
-                [mel, np.zeros((bb - b, *mel.shape[1:]), np.float32)], axis=0)
+                [np.asarray(mel, np.float32),
+                 np.zeros((bb - b, *mel.shape[1:]), np.float32)], axis=0)
 
         prompt = self.build_prompt(options.language, options.task)
         prompt_arr = jnp.asarray(
@@ -242,19 +303,59 @@ class WhisperEngine:
         t0 = time.perf_counter()
         result = fn(self.params, jnp.asarray(mel), prompt_arr,
                     jnp.uint32(options.seed))
+        return self._unpack(result, b, len(prompt), options, t0)
+
+    def transcribe_audio(
+        self,
+        audio: np.ndarray,                  # (B, n_samples) float32, padded
+        options: GenerationOptions,
+        use_pallas: Optional[bool] = None,
+    ) -> EngineResult:
+        """Fused raw-audio transcription (featurize on device, one call).
+
+        ``audio`` must already be padded to the chunk bucket
+        (``n_samples % 160 == 0``). Numerically identical to
+        ``transcribe_features(featurizer(audio), options)``.
+        """
+        if not isinstance(audio, jax.Array):
+            audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        b = audio.shape[0]
+        bb = _bucket_batch(b, self.batch_buckets)
+        if bb != b:
+            # Padding pulls device arrays to host; callers on the hot path
+            # should pass exact-bucket batches.
+            audio = np.concatenate(
+                [np.asarray(audio, np.float32),
+                 np.zeros((bb - b, audio.shape[1]), np.float32)], axis=0)
+
+        prompt = self.build_prompt(options.language, options.task)
+        prompt_arr = jnp.asarray(
+            np.tile(np.asarray(prompt, np.int32), (bb, 1)))
+        temperature = (float(options.temperature)
+                       if options.num_beams == 1 else 0.0)
+        fn = self._generate_from_audio_fn(
+            bb, audio.shape[-1], len(prompt), options.max_new_tokens,
+            options.return_timestamps, num_beams=options.num_beams,
+            temperature=temperature, use_pallas=use_pallas)
+        t0 = time.perf_counter()
+        result = fn(self.params, jnp.asarray(audio), prompt_arr,
+                    jnp.uint32(options.seed))
+        return self._unpack(result, b, len(prompt), options, t0)
+
+    def _unpack(self, result, b: int, prompt_len: int,
+                options: GenerationOptions, t0: float) -> EngineResult:
         tokens = np.asarray(result.tokens)           # blocks until done
         dt = time.perf_counter() - t0
         self.total_time_worked += dt
-
-        num_gen = np.asarray(result.num_generated)
-        sum_lp = np.asarray(result.sum_logprob)
-        align = (np.asarray(result.align)
+        align = (np.asarray(result.align, dtype=np.float32)
                  if options.return_timestamps else None)
         return EngineResult(
             tokens=tokens[:b],
-            num_generated=num_gen[:b],
-            prompt_len=len(prompt),
-            sum_logprob=sum_lp[:b],
+            num_generated=np.asarray(result.num_generated)[:b],
+            prompt_len=prompt_len,
+            sum_logprob=np.asarray(result.sum_logprob)[:b],
             align=align[:b] if align is not None else None,
             decode_time_s=dt,
             token_logprobs=np.asarray(result.token_logprobs)[:b],
@@ -307,7 +408,10 @@ class WhisperEngine:
 
         Reads suppress-token lists from the checkpoint generation config
         (parity with HF generate defaults). ``quantize="int8"`` enables the
-        "S" mode: weight-only int8 decoder (models/quant.py).
+        "S" mode: weight-only int8 decoder + int8 cross-KV cache
+        (models/quant.py) — A/B on a real v5e showed int8 cross-KV cuts
+        bs=32 decode from 3.26 to 2.60 ms/step at argmax parity
+        (tests/test_quant_beam.py::test_int8_cross_kv_cache).
         """
         import json
         import os
@@ -335,4 +439,5 @@ class WhisperEngine:
             begin = gc.get("begin_suppress_tokens", []) or []
         return WhisperEngine(
             params, arch, compute_dtype=compute_dtype,
-            suppress_tokens=suppress, begin_suppress_tokens=begin)
+            suppress_tokens=suppress, begin_suppress_tokens=begin,
+            cross_kv_int8=(quantize in ("int8", "int8-weights")))

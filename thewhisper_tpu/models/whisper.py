@@ -111,13 +111,30 @@ def _flash_enabled() -> bool:
             and os.environ.get("WHISPER_FLASH_ATTENTION", "1") != "0")
 
 
-def _flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def _flash_blocks() -> Tuple[int, int]:
+    """Flash-attention (block_q, block_k) — env-tunable for perf probes."""
+    import os
+
+    raw = os.environ.get("WHISPER_FLASH_BLOCK", "512,512")
+    try:
+        q, k = (int(x) for x in raw.split(","))
+        return q, k
+    except ValueError:
+        return 512, 512
+
+
+def _flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     valid_len: Optional[int] = None) -> jnp.ndarray:
     """Pallas TPU flash attention for long unmasked sequences.
 
     The naive path materializes (B, H, S, S) logits in HBM — at the 30 s
     bucket (S=1500, 20 heads) that is terabytes of traffic per batch and
     dominated the encoder (measured: bs=32 RTFx 245 without flash).
-    Sequences pad to a 512 multiple; SegmentIds keep padded keys masked.
+
+    Sequences pad to a 512 multiple. When the caller already padded
+    (``valid_len`` set, the pad-once encoder), only the segment-id mask is
+    built here — round-2 profiling showed the per-layer q/k/v pads +
+    unpads cost ~100 ms of the 900 ms bs=32x30 s encoder.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -135,15 +152,19 @@ def _flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
     if pad:
         qt, kt, vt = (
             jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0))) for x in (qt, kt, vt))
-        seg = jnp.concatenate(
-            [jnp.zeros((b, s), jnp.int32), jnp.ones((b, pad), jnp.int32)], -1)
+    if pad or (valid_len is not None and valid_len < s):
+        n_valid = valid_len if valid_len is not None else s
+        seg = jnp.where(
+            jnp.arange(s_pad)[None, :] < n_valid, 0, 1
+        ).astype(jnp.int32) * jnp.ones((b, 1), jnp.int32)
         segment_ids = SegmentIds(q=seg, kv=seg)
-    block = min(512, s_pad)
+    bq, bk = _flash_blocks()
+    bq, bk = min(bq, s_pad), min(bk, s_pad)
     out = flash_attention(
         qt, kt, vt, segment_ids=segment_ids, causal=False,
         sm_scale=float(dh) ** -0.5,
-        block_sizes=BlockSizes(block_q=block, block_k_major=block,
-                               block_k=block, block_b=1),
+        block_sizes=BlockSizes(block_q=bq, block_k_major=bk,
+                               block_k=bk, block_b=1),
     )
     out = out[:, :, :s, :].astype(q.dtype)
     return jnp.transpose(out, (0, 2, 1, 3))
@@ -155,11 +176,12 @@ def _attention(
     v: jnp.ndarray,     # (B, Sk, H, dh)
     mask: Optional[jnp.ndarray],  # broadcastable to (B, H, Sq, Sk), True=keep
     return_probs: bool = False,
+    valid_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     dh = q.shape[-1]
     if (mask is None and not return_probs and q.shape[1] >= 256
             and q.shape[1] == k.shape[1] and _flash_enabled()):
-        return _flash_attention(q, k, v), None
+        return _flash_attention(q, k, v, valid_len=valid_len), None
     scale = dh ** -0.5
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32,
@@ -173,6 +195,13 @@ def _attention(
     return out, (probs32 if return_probs else None)
 
 
+def _fuse_qkv_enabled() -> bool:
+    import os
+
+    # Measured SLOWER on v5e (971 vs 928 ms encoder): off by default.
+    return os.environ.get("WHISPER_FUSE_QKV", "0") != "0"
+
+
 def _mha(
     x: jnp.ndarray,
     kv: jnp.ndarray,
@@ -180,20 +209,47 @@ def _mha(
     n_heads: int,
     mask: Optional[jnp.ndarray] = None,
     return_probs: bool = False,
+    valid_len: Optional[int] = None,
 ):
     """Full attention: project q from x, k/v from kv, combine heads."""
-    q = _split_heads(_linear(x, p["q_w"], p["q_b"]), n_heads)
-    k = _split_heads(_linear(kv, p["k_w"], None), n_heads)
-    v = _split_heads(_linear(kv, p["v_w"], p["v_b"]), n_heads)
-    out, probs = _attention(q, k, v, mask, return_probs)
+    if x is kv and not isinstance(p["q_w"], dict) and _fuse_qkv_enabled():
+        # Self-attention: one (d, 3d) matmul instead of three (d, d) —
+        # fewer, better-shaped MXU calls (k has no bias in Whisper).
+        d = x.shape[-1]
+        w = jnp.concatenate([p["q_w"], p["k_w"], p["v_w"]], axis=1)
+        b_ = jnp.concatenate(
+            [p["q_b"], jnp.zeros_like(p["q_b"]), p["v_b"]])
+        qkv = _linear(x, w, b_)
+        q = _split_heads(qkv[..., :d], n_heads)
+        k = _split_heads(qkv[..., d: 2 * d], n_heads)
+        v = _split_heads(qkv[..., 2 * d:], n_heads)
+    else:
+        q = _split_heads(_linear(x, p["q_w"], p["q_b"]), n_heads)
+        k = _split_heads(_linear(kv, p["k_w"], None), n_heads)
+        v = _split_heads(_linear(kv, p["v_w"], p["v_b"]), n_heads)
+    out, probs = _attention(q, k, v, mask, return_probs, valid_len=valid_len)
     b, s, h, dh = out.shape
     out = _linear(out.reshape(b, s, h * dh), p["o_w"], p["o_b"])
     return out, probs
 
 
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU: exact erf in f32, tanh approximation in low precision.
+
+    Measured on v5e (tools/gelu_probe.py): exact erf costs ~4.5 ms per
+    MLP-volume application (bs=32 x 30 s) vs ~1.2 ms for tanh — ~105 ms
+    across the 32-layer encoder. The tanh approximation's error (<= 3e-3
+    absolute, at |x|~2.3 where the bf16 ULP is 1.6e-2) is below half an
+    ULP of the bf16 activations, so bf16 outputs round identically almost
+    everywhere; the f32 path keeps exact erf for HF parity tests.
+    """
+    exact = x.dtype == jnp.float32
+    return jax.nn.gelu(x, approximate=not exact)
+
+
 def _mlp(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
     h = _linear(x, p["fc1_w"], p["fc1_b"])
-    h = jax.nn.gelu(h, approximate=False)
+    h = _gelu(h)
     return _linear(h, p["fc2_w"], p["fc2_b"])
 
 
@@ -224,13 +280,13 @@ def encoder_forward(
         x, enc["conv1"]["w"].astype(compute_dtype), (1,), [(1, 1)], dimension_numbers=dn,
         preferred_element_type=jnp.float32, precision=_prec(compute_dtype),
     ).astype(compute_dtype) + enc["conv1"]["b"].astype(compute_dtype)[None, :, None]
-    x = jax.nn.gelu(x, approximate=False)
+    x = _gelu(x)
     dn2 = jax.lax.conv_dimension_numbers(x.shape, enc["conv2"]["w"].shape, ("NCH", "OIH", "NCH"))
     x = jax.lax.conv_general_dilated(
         x, enc["conv2"]["w"].astype(compute_dtype), (2,), [(1, 1)], dimension_numbers=dn2,
         preferred_element_type=jnp.float32, precision=_prec(compute_dtype),
     ).astype(compute_dtype) + enc["conv2"]["b"].astype(compute_dtype)[None, :, None]
-    x = jax.nn.gelu(x, approximate=False)
+    x = _gelu(x)
 
     x = jnp.transpose(x, (0, 2, 1))                     # (B, T, d)
     t = x.shape[1]
@@ -243,18 +299,35 @@ def encoder_forward(
             f"max_source_positions")
     x = x + enc["pos_emb"][:t].astype(compute_dtype)
 
+    # Pad ONCE to the flash-attention block multiple and run every layer
+    # pad-free (flash masks the pad rows via segment ids; LN/MLP on the
+    # isolated garbage rows is 2% wasted compute). Round-2 profiling: the
+    # per-layer q/k/v pad + output slice cost ~100 ms of the 900 ms
+    # bs=32 x 30 s encoder.
+    use_flash = _flash_enabled() and t >= 256
+    valid_len = None
+    if use_flash and t % 512:
+        s_pad = ((t + 511) // 512) * 512
+        x = jnp.pad(x, ((0, 0), (0, s_pad - t), (0, 0)))
+        valid_len = t
+
     n_heads = arch.encoder_heads
 
     def layer(carry, lp):
         h = carry
         a_in = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"])
-        a, _ = _mha(a_in, a_in, lp["attn"], n_heads)
+        a, _ = _mha(a_in, a_in, lp["attn"], n_heads, valid_len=valid_len)
         h = h + a
         m = _mlp(_layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"]), lp["mlp"])
         h = h + m
         return h, None
 
-    x, _ = jax.lax.scan(layer, x, enc["layers"])
+    import os
+
+    unroll = int(os.environ.get("WHISPER_ENCODER_UNROLL", "1"))
+    x, _ = jax.lax.scan(layer, x, enc["layers"], unroll=unroll)
+    if valid_len is not None:
+        x = x[:, :t]
     x = _layer_norm(x, enc["ln_post"]["scale"], enc["ln_post"]["bias"])
     return x
 
@@ -445,12 +518,16 @@ def _stack_step(params, x, arch, cache, position, align_sel):
     layers["_align_sel"] = jnp.asarray(align_sel)
     xs = (layers, cache.cross_k, cache.cross_v, cache.self_k, cache.self_v)
     x, (k_new, v_new, aligns) = jax.lax.scan(layer, x, xs)
-    # One tiny in-place write per step: (L, B, H, dh, 1) at `position`.
+    # Cache write as a fused elementwise select, NOT dynamic_update_slice:
+    # XLA's DUS on a while-loop carry lowers to a pathological strided
+    # kernel (~850 us for this 24 MB buffer on v5e); where(iota==pos, ...)
+    # is one clean bandwidth-bound pass (~320 us, equal to the read+write
+    # yardstick). Measured in round 2's decode-step profile.
+    slot = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, 1, cache.self_k.shape[4]), 4) == position
     new_cache = DecodeCache(
-        jax.lax.dynamic_update_slice(
-            cache.self_k, k_new, (0, 0, 0, 0, position)),
-        jax.lax.dynamic_update_slice(
-            cache.self_v, v_new, (0, 0, 0, 0, position)),
+        jnp.where(slot, k_new, cache.self_k),
+        jnp.where(slot, v_new, cache.self_v),
         cache.cross_k, cache.cross_v)
     x = _layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
     return x, new_cache, jnp.sum(aligns, axis=0)

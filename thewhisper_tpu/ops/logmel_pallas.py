@@ -129,7 +129,13 @@ def _logmel_raw(frames: jnp.ndarray, dft: jnp.ndarray, mel: jnp.ndarray,
 
 
 class _Banks:
-    """Cached constant matrices keyed by the filter bank identity."""
+    """Cached constant matrices keyed by the filter bank identity.
+
+    Cached as NUMPY arrays: ``log_mel_pallas`` may run inside an outer jit
+    trace (the engine's fused audio program), where a ``jnp.asarray``
+    result is a tracer — caching one leaks it into later traces
+    (UnexpectedTracerError). The jnp conversion happens fresh at each use.
+    """
 
     _cache = {}
 
@@ -138,8 +144,8 @@ class _Banks:
         key = (mel_fb.shape, int(np.asarray(mel_fb).sum() * 1e6))
         hit = cls._cache.get(key)
         if hit is None:
-            hit = (jnp.asarray(_dft_matrix(np.asarray(window, np.float64))),
-                   jnp.asarray(_mel_matrix(np.asarray(mel_fb))))
+            hit = (_dft_matrix(np.asarray(window, np.float64)),
+                   _mel_matrix(np.asarray(mel_fb)))
             cls._cache[key] = hit
         return hit
 

@@ -220,12 +220,12 @@ class ASRPipeline:
         seqs: List[List[int]] = []
         ts_seqs: List[List[Tuple[Optional[float], Optional[float]]]] = []
         lp_seqs: List[List[float]] = []
-        win = max((len(w) for w in windows), default=0)
-        win = max(win, 1)
         for start in range(0, len(windows), bsz):
             batch = windows[start: start + bsz]
-            mel = np.asarray(featurizer(_pad_stack(batch, win)))
-            res = self._transcribe_with_fallback(mel, opts, fallback)
+            # Fused device program: featurization runs inside the same XLA
+            # executable as encode+decode (one device call per batch).
+            audio = _pad_stack(batch, featurizer.n_samples)
+            res = self._transcribe_with_fallback(audio, opts, fallback)
             p = res.prompt_len
             if want_words:
                 # Alignment rows populated per sample: prompt + generated - 1.
@@ -266,23 +266,25 @@ class ASRPipeline:
 
     # -- temperature fallback ladder (opt-in) --------------------------------
 
-    def _transcribe_with_fallback(self, mel, opts, temperatures):
+    def _transcribe_with_fallback(self, audio, opts, temperatures):
         """openai-whisper style quality gating: windows whose output is
         repetitive (zlib compression ratio > 2.4) or low-confidence (mean
         token logprob < -1.0) are re-decoded by sampling at the next
         temperature in the ladder. Off unless ``fallback_temperatures`` is
         passed in generate_kwargs."""
-        res = self.engine.transcribe_features(mel, opts)
+        res = self.engine.transcribe_audio(
+            audio, opts, use_pallas=self._use_pallas)
         if not temperatures:
             return res
         for step, t in enumerate(t for t in temperatures if t > 0.0):
-            failed = [i for i in range(mel.shape[0])
+            failed = [i for i in range(audio.shape[0])
                       if self._window_fails(res, i)]
             if not failed:
                 break
             retry_opts = dataclasses.replace(
                 opts, temperature=float(t), seed=opts.seed + step + 1)
-            sub = self.engine.transcribe_features(mel[failed], retry_opts)
+            sub = self.engine.transcribe_audio(
+                audio[failed], retry_opts, use_pallas=self._use_pallas)
             res = _merge_result_rows(res, sub, failed)
         return res
 

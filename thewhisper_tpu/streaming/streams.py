@@ -139,48 +139,48 @@ class MicStream:
 
 
 class StdoutStream:
-    """Render committed text in place and rewrite the assumption tail."""
+    """Render committed text in place and rewrite the assumption tail.
+
+    Implementation: the whole display line (committed prefix + mutable
+    assumption tail) is re-rendered as one string every call and diffed
+    once against what is currently on screen — the cursor backs up over
+    the divergent tail, clears to end of line, and writes the new suffix.
+    Committed text only ever grows, so in practice the repaint touches
+    just the assumption region.
+    """
 
     def __init__(self, file=None):
         self._out = file or sys.stdout
-        self._hide = "\x1b[?25l"
-        self._show = "\x1b[?25h"
+        self._show_cursor = "\x1b[?25h"
         self._clear_eol = "\x1b[K"
-        self._prev_assumption = ""
-        self._committed = ""
         self._all_committed: List[str] = []
-        self._out.write(self._hide)
+        self._on_screen = ""
+        self._out.write("\x1b[?25l")            # hide cursor while live
+
+    def _repaint(self, target: str) -> None:
+        """Morph the terminal line from ``self._on_screen`` to ``target``."""
+        keep = 0
+        limit = min(len(self._on_screen), len(target))
+        while keep < limit and self._on_screen[keep] == target[keep]:
+            keep += 1
+        if len(self._on_screen) > keep:
+            self._out.write("\b" * (len(self._on_screen) - keep)
+                            + self._clear_eol)
+        self._out.write(target[keep:])
+        self._on_screen = target
+        self._out.flush()
 
     def write(self, committed, assumption) -> None:
-        committed_texts = [w["text"] for w in committed]
-        assumption_texts = [w["text"] for w in assumption]
-        self._all_committed.extend(committed_texts)
-        if not committed_texts and not assumption_texts:
+        self._all_committed.extend(w["text"] for w in committed)
+        if not committed and not assumption:
             return
-
-        new_committed = "".join(self._all_committed)
-        new_assumption = "".join(assumption_texts)
-
-        if self._prev_assumption:
-            self._out.write("\b" * len(self._prev_assumption))
-            self._out.write(self._clear_eol)
-
-        if new_committed.startswith(self._committed):
-            delta = new_committed[len(self._committed):]
-            if delta:
-                self._out.write(delta)
-        else:
-            self._out.write("\r" + new_committed)
-        self._committed = new_committed
-
-        if new_assumption:
-            self._out.write(new_assumption)
-        self._prev_assumption = new_assumption
-        self._out.flush()
+        self._repaint("".join(self._all_committed)
+                      + "".join(w["text"] for w in assumption))
 
     def close(self) -> None:
-        if self._prev_assumption:
-            self._out.write("\b" * len(self._prev_assumption) + self._clear_eol)
-        self._out.write("\n" + self._show)
+        # Drop any assumption remnant; keep the committed transcript.
+        self._repaint("".join(self._all_committed))
+        self._out.write("\n" + self._show_cursor)
         self._out.flush()
         self._all_committed = []
+        self._on_screen = ""
