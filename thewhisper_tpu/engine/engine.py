@@ -346,20 +346,27 @@ class WhisperEngine:
 
     def _unpack(self, result, b: int, prompt_len: int,
                 options: GenerationOptions, t0: float) -> EngineResult:
-        tokens = np.asarray(result.tokens)           # blocks until done
+        # ONE batched device->host fetch (device_get prefetches every leaf
+        # async before gathering). Sequential np.asarray calls each paid a
+        # tunnel round trip — 5-6 RTTs per transcription on remote TPUs.
+        fetch = [result.tokens, result.num_generated, result.sum_logprob,
+                 result.token_logprobs, result.no_speech_prob]
+        if options.return_timestamps:
+            fetch.append(result.align)
+        host = jax.device_get(fetch)
         dt = time.perf_counter() - t0
         self.total_time_worked += dt
-        align = (np.asarray(result.align, dtype=np.float32)
+        align = (np.asarray(host[5], dtype=np.float32)
                  if options.return_timestamps else None)
         return EngineResult(
-            tokens=tokens[:b],
-            num_generated=np.asarray(result.num_generated)[:b],
+            tokens=np.asarray(host[0])[:b],
+            num_generated=np.asarray(host[1])[:b],
             prompt_len=prompt_len,
-            sum_logprob=np.asarray(result.sum_logprob)[:b],
+            sum_logprob=np.asarray(host[2])[:b],
             align=align[:b] if align is not None else None,
             decode_time_s=dt,
-            token_logprobs=np.asarray(result.token_logprobs)[:b],
-            no_speech_prob=np.asarray(result.no_speech_prob)[:b],
+            token_logprobs=np.asarray(host[3])[:b],
+            no_speech_prob=np.asarray(host[4])[:b],
         )
 
     def detect_language(self, mel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
