@@ -102,6 +102,54 @@ def test_engine_bucketing_and_padding(tiny):
     np.testing.assert_array_equal(res1.tokens[0], res.tokens[0])
 
 
+def test_per_sample_language_prompts(tiny):
+    """languages=[...] overrides options.language row-wise: each row's
+    prompt carries its own language token."""
+    _, arch, params = tiny
+    sp = SpecialTokens(
+        eot=1, sot=2, first_language=10, n_languages=5,
+        translate=20, transcribe=21, no_speech=22, no_timestamps=23,
+        timestamp_begin=24,
+    )
+    eng = WhisperEngine(params, arch, special=sp, batch_buckets=(2,))
+    mel = np.random.default_rng(9).standard_normal((2, 80, 100)).astype(np.float32)
+    from thewhisper_tpu.config import LANGUAGES
+
+    res = eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=4, language="en"),
+        languages=[LANGUAGES[0], LANGUAGES[2]])   # en, de
+    assert res.tokens[0, 1] == 10      # <|en|>
+    assert res.tokens[1, 1] == 12      # <|de|>
+    # Same rows, same audio, different language token -> decoding ran.
+    assert res.tokens.shape[0] == 2
+
+
+def test_pipeline_language_autodetect(tiny):
+    """ASRPipeline(language=None) detects the language per window."""
+    from thewhisper_tpu.pipeline import ASRPipeline
+
+    _, arch, params = tiny
+    sp = SpecialTokens(
+        eot=1, sot=2, first_language=10, n_languages=5,
+        translate=20, transcribe=21, no_speech=22, no_timestamps=23,
+        timestamp_begin=24,
+    )
+    eng = WhisperEngine(params, arch, special=sp, batch_buckets=(1, 2))
+
+    class Tok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(f" w{int(i)}" for i in ids)
+
+    pipe = ASRPipeline(eng, tokenizer=Tok(), chunk_length_s=1, language=None)
+    audio = (0.1 * np.random.default_rng(10).standard_normal(12000)
+             ).astype(np.float32)
+    out = pipe(audio, generate_kwargs={"max_new_tokens": 4})
+    assert isinstance(out["text"], str)
+    # Detection itself yields a valid code + probability.
+    codes, probs = eng.detect_language(np.asarray(pipe.featurizer(audio)))
+    assert 0.0 <= float(probs[0]) <= 1.0
+
+
 def test_transcribe_audio_matches_featurized(tiny):
     """The fused audio->tokens program is numerically identical to
     featurize-then-transcribe_features (same XLA math, one device call)."""

@@ -139,7 +139,8 @@ def test_word_timestamps_skip_special_tokens_without_shift(
                 decode_time_s=0.0,
                 token_logprobs=np.zeros((1, 6)), no_speech_prob=np.zeros(1))
 
-        def transcribe_audio(self, audio, opts, use_pallas=None):
+        def transcribe_audio(self, audio, opts, use_pallas=None,
+                             languages=None):
             return self.transcribe_features(None, opts)
 
     # Row r of the alignment maps to time r * 0.1 s, deterministically.

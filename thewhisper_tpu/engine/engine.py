@@ -124,6 +124,18 @@ class WhisperEngine:
         task_id = sp.transcribe if task == "transcribe" else sp.translate
         return [sp.sot, lang_id, task_id, sp.no_timestamps]
 
+    def _prompt_rows(self, options: GenerationOptions, bb: int,
+                     languages: Optional[Sequence[str]]) -> np.ndarray:
+        """(bb, P) int32 prompt rows; per-sample languages override
+        ``options.language`` row-wise (auto-detection support)."""
+        base = np.asarray(
+            self.build_prompt(options.language, options.task), np.int32)
+        rows = np.tile(base, (bb, 1))
+        if languages:
+            for i, lang in enumerate(languages[:bb]):
+                rows[i] = self.build_prompt(lang, options.task)
+        return rows
+
     # -- compiled program ----------------------------------------------------
 
     def _program_body(self, batch: int, prompt_len: int, max_new: int,
@@ -278,6 +290,7 @@ class WhisperEngine:
         self,
         mel: np.ndarray,                    # (B, n_mels, T_mel)
         options: GenerationOptions,
+        languages: Optional[Sequence[str]] = None,   # per-sample override
     ) -> EngineResult:
         if not isinstance(mel, jax.Array):
             mel = np.asarray(mel, dtype=np.float32)
@@ -290,26 +303,26 @@ class WhisperEngine:
                 [np.asarray(mel, np.float32),
                  np.zeros((bb - b, *mel.shape[1:]), np.float32)], axis=0)
 
-        prompt = self.build_prompt(options.language, options.task)
-        prompt_arr = jnp.asarray(
-            np.tile(np.asarray(prompt, np.int32), (bb, 1)))
+        prompt_arr = jnp.asarray(self._prompt_rows(options, bb, languages))
+        p = prompt_arr.shape[1]
 
         temperature = (float(options.temperature)
                        if options.num_beams == 1 else 0.0)
         fn = self._generate_fn(
-            bb, mel.shape[-1], len(prompt), options.max_new_tokens,
+            bb, mel.shape[-1], p, options.max_new_tokens,
             options.return_timestamps, num_beams=options.num_beams,
             temperature=temperature)
         t0 = time.perf_counter()
         result = fn(self.params, jnp.asarray(mel), prompt_arr,
                     jnp.uint32(options.seed))
-        return self._unpack(result, b, len(prompt), options, t0)
+        return self._unpack(result, b, p, options, t0)
 
     def transcribe_audio(
         self,
         audio: np.ndarray,                  # (B, n_samples) float32, padded
         options: GenerationOptions,
         use_pallas: Optional[bool] = None,
+        languages: Optional[Sequence[str]] = None,   # per-sample override
     ) -> EngineResult:
         """Fused raw-audio transcription (featurize on device, one call).
 
@@ -330,19 +343,18 @@ class WhisperEngine:
                 [np.asarray(audio, np.float32),
                  np.zeros((bb - b, audio.shape[1]), np.float32)], axis=0)
 
-        prompt = self.build_prompt(options.language, options.task)
-        prompt_arr = jnp.asarray(
-            np.tile(np.asarray(prompt, np.int32), (bb, 1)))
+        prompt_arr = jnp.asarray(self._prompt_rows(options, bb, languages))
+        p = prompt_arr.shape[1]
         temperature = (float(options.temperature)
                        if options.num_beams == 1 else 0.0)
         fn = self._generate_from_audio_fn(
-            bb, audio.shape[-1], len(prompt), options.max_new_tokens,
+            bb, audio.shape[-1], p, options.max_new_tokens,
             options.return_timestamps, num_beams=options.num_beams,
             temperature=temperature, use_pallas=use_pallas)
         t0 = time.perf_counter()
         result = fn(self.params, jnp.asarray(audio), prompt_arr,
                     jnp.uint32(options.seed))
-        return self._unpack(result, b, len(prompt), options, t0)
+        return self._unpack(result, b, p, options, t0)
 
     def _unpack(self, result, b: int, prompt_len: int,
                 options: GenerationOptions, t0: float) -> EngineResult:

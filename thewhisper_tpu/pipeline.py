@@ -225,7 +225,15 @@ class ASRPipeline:
             # Fused device program: featurization runs inside the same XLA
             # executable as encode+decode (one device call per batch).
             audio = _pad_stack(batch, featurizer.n_samples)
-            res = self._transcribe_with_fallback(audio, opts, fallback)
+            languages = None
+            if opts.language is None:
+                # Auto-detect per sample (the reference rides HF generate's
+                # detection when no language is forced).
+                codes, _ = self.engine.detect_language(
+                    np.asarray(featurizer(audio), dtype=np.float32))
+                languages = [str(c) for c in codes]
+            res = self._transcribe_with_fallback(audio, opts, fallback,
+                                                 languages=languages)
             p = res.prompt_len
             if want_words:
                 # Alignment rows populated per sample: prompt + generated - 1.
@@ -266,14 +274,15 @@ class ASRPipeline:
 
     # -- temperature fallback ladder (opt-in) --------------------------------
 
-    def _transcribe_with_fallback(self, audio, opts, temperatures):
+    def _transcribe_with_fallback(self, audio, opts, temperatures,
+                                  languages=None):
         """openai-whisper style quality gating: windows whose output is
         repetitive (zlib compression ratio > 2.4) or low-confidence (mean
         token logprob < -1.0) are re-decoded by sampling at the next
         temperature in the ladder. Off unless ``fallback_temperatures`` is
         passed in generate_kwargs."""
         res = self.engine.transcribe_audio(
-            audio, opts, use_pallas=self._use_pallas)
+            audio, opts, use_pallas=self._use_pallas, languages=languages)
         if not temperatures:
             return res
         for step, t in enumerate(t for t in temperatures if t > 0.0):
@@ -284,7 +293,9 @@ class ASRPipeline:
             retry_opts = dataclasses.replace(
                 opts, temperature=float(t), seed=opts.seed + step + 1)
             sub = self.engine.transcribe_audio(
-                audio[failed], retry_opts, use_pallas=self._use_pallas)
+                audio[failed], retry_opts, use_pallas=self._use_pallas,
+                languages=([languages[i] for i in failed]
+                           if languages else None))
             res = _merge_result_rows(res, sub, failed)
         return res
 
@@ -360,7 +371,8 @@ def _merge_result_rows(base, sub, idx: Sequence[int]):
 def _pad_stack(windows: Sequence[np.ndarray], win: int) -> np.ndarray:
     out = np.zeros((len(windows), win), dtype=np.float32)
     for i, w in enumerate(windows):
-        out[i, : len(w)] = w
+        n = min(len(w), win)
+        out[i, :n] = w[:n]
     return out
 
 
