@@ -61,6 +61,28 @@ def test_sharded_encoder_matches_single_device(tiny_arch):
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+def test_sequence_parallel_encoder_matches(tiny_arch):
+    """SP: time axis sharded over tp; output must match the unsharded run."""
+    from thewhisper_tpu.parallel import seq_sharding
+
+    mesh = make_mesh(8)
+    params = init_params(tiny_arch, seed=0)
+    mel = np.random.default_rng(2).standard_normal(
+        (4, tiny_arch.n_mels, 100)).astype(np.float32)
+
+    ref = np.asarray(encoder_forward(params, jnp.asarray(mel), tiny_arch))
+
+    sharded = shard_params(params, mesh)
+    mel_s = jax.device_put(jnp.asarray(mel), batch_sharding(mesh, 3))
+    out = encoder_forward(
+        sharded, mel_s, tiny_arch, act_sharding=seq_sharding(mesh))
+    # The activations really are laid out time-sharded over tp
+    # (PartitionSpec drops trailing Nones).
+    spec = tuple(out.sharding.spec)
+    assert spec[:2] == ("dp", "tp") and all(s is None for s in spec[2:]), spec
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
 def test_sharded_train_step_decreases_loss(tiny_arch):
     mesh = make_mesh(8)
     params = shard_params(init_params(tiny_arch, seed=0), mesh)

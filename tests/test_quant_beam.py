@@ -319,3 +319,43 @@ def test_int8_cross_kv_cache(tiny):
     rb = q_eng.transcribe_features(
         mel, GenerationOptions(max_new_tokens=6, language="en", num_beams=3))
     assert rb.tokens.shape == r0.tokens.shape
+
+
+def test_w8a8_encoder_close_to_fp32(tiny):
+    """W8A8 (int8 activations + int8 weights, int8 MXU dots) tracks fp32."""
+    arch, params = tiny
+    qparams = quantize_params(
+        params, components=("encoder",), activation_int8=True)
+    leaf = qparams["encoder"]["layers"]["mlp"]["fc1_w"]
+    assert set(leaf) == {"q8", "s8"} and leaf["q8"].dtype == jnp.int8
+
+    rng = np.random.default_rng(8)
+    mel = rng.standard_normal((2, 80, 100)).astype(np.float32)
+    ref = np.asarray(encoder_forward(params, jnp.asarray(mel), arch))
+    out = np.asarray(encoder_forward(qparams, jnp.asarray(mel), arch))
+    # Per-row act scales + per-channel weight scales: relative error small.
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 0.08, np.abs(out - ref).max()
+    # Correlation across the whole feature map stays near 1.
+    cc = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert cc > 0.999, cc
+
+
+def test_w8a8_engine_end_to_end(tiny):
+    """Engine runs with a W8A8 encoder + weight-only int8 decoder."""
+    arch, params = tiny
+    qparams = quantize_params(
+        quantize_params(params, components=("encoder",), activation_int8=True),
+        components=("decoder",))
+    eng = WhisperEngine(qparams, arch, special=SP, batch_buckets=(1,))
+    mel = np.random.default_rng(9).standard_normal((1, 80, 100)).astype(np.float32)
+    res = eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=6, language="en",
+                               return_timestamps=True))
+    assert res.tokens.shape[0] == 1
+    ref_eng = WhisperEngine(params, arch, special=SP, batch_buckets=(1,))
+    ref = ref_eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=6, language="en"))
+    # Same greedy argmax on a random model (weak but real signal, matching
+    # the weight-only int8 test's bar).
+    np.testing.assert_array_equal(res.tokens, ref.tokens)

@@ -431,6 +431,12 @@ class WhisperEngine:
         (models/quant.py) — A/B on a real v5e showed int8 cross-KV cuts
         bs=32 decode from 3.26 to 2.60 ms/step at argmax parity
         (tests/test_quant_beam.py::test_int8_cross_kv_cache).
+        ``quantize="int8-all"`` ("S+") additionally runs the encoder
+        W8A8 — int8 activations quantized on the fly into int8 x int8 MXU
+        matmuls (v5e int8 peak is 2x bf16; measured ~1.3x end-to-end per
+        matmul, tools/int8_matmul_probe.py). Encoder quantization error is
+        larger than weight-only; validate WER on real weights before
+        production use.
         """
         import json
         import os
@@ -440,12 +446,15 @@ class WhisperEngine:
         params, arch = load_checkpoint(
             path, dtype=compute_dtype, chunk_length_s=chunk_length_s,
             position_mode=position_mode)
-        if quantize in ("int8", "int8-weights"):
+        if quantize in ("int8", "int8-weights", "int8-all"):
             from thewhisper_tpu.models.quant import quantize_params
 
             params = quantize_params(
                 params, components=("decoder",),
-                quantize_embedding_table=(quantize == "int8"))
+                quantize_embedding_table=(quantize != "int8-weights"))
+            if quantize == "int8-all":
+                params = quantize_params(
+                    params, components=("encoder",), activation_int8=True)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode: {quantize}")
         suppress: Sequence[int] = ()
@@ -459,4 +468,4 @@ class WhisperEngine:
         return WhisperEngine(
             params, arch, compute_dtype=compute_dtype,
             suppress_tokens=suppress, begin_suppress_tokens=begin,
-            cross_kv_int8=(quantize in ("int8", "int8-weights")))
+            cross_kv_int8=(quantize in ("int8", "int8-weights", "int8-all")))

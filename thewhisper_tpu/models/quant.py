@@ -57,10 +57,29 @@ def quantize_embedding(w: np.ndarray) -> Dict[str, Any]:
     return {"q": jnp.asarray(q), "s": jnp.asarray(scale.astype(np.float32))}
 
 
+def quantize_weight_w8a8(w: np.ndarray) -> Dict[str, Any]:
+    """Like :func:`quantize_weight`, but marked for the **W8A8** compute
+    path: ``models.whisper._linear`` quantizes the activations per row on
+    the fly and runs a true int8 x int8 MXU contraction (2x the bf16 peak
+    on v5e) instead of dequantize-into-bf16-matmul.
+
+    Intended for the compute-bound encoder (the reference's TensorRT "S"
+    engines are int8 end to end, ``benchmark/README.md:92-94``); the
+    bandwidth-bound decoder gains nothing over weight-only int8.
+    """
+    leaf = quantize_weight(w)
+    return {"q8": leaf["q"], "s8": leaf["s"]}
+
+
+def is_quantized_w8a8(leaf: Any) -> bool:
+    return isinstance(leaf, dict) and set(leaf) == {"q8", "s8"}
+
+
 def quantize_params(
     params: Dict[str, Any],
     components: Sequence[str] = ("decoder",),
     quantize_embedding_table: bool = True,
+    activation_int8: bool = False,
 ) -> Dict[str, Any]:
     """Quantize the linear weights of the given top-level components.
 
@@ -69,13 +88,19 @@ def quantize_params(
     every generated token). The tied token embedding — the single biggest
     per-token HBM read through the logits matmul — quantizes per-row
     unless disabled.
+
+    ``activation_int8=True`` marks the converted weights for the W8A8
+    compute path (int8 activations quantized on the fly, int8 MXU matmul)
+    — use for the encoder, where matmuls are compute-bound.
     """
+    make = quantize_weight_w8a8 if activation_int8 else quantize_weight
 
     def convert(tree):
         if isinstance(tree, dict):
             return {
-                k: (quantize_weight(np.asarray(v))
-                    if k in _QUANT_KEYS and not is_quantized(v)
+                k: (make(np.asarray(v))
+                    if k in _QUANT_KEYS and not (
+                        is_quantized(v) or is_quantized_w8a8(v))
                     else convert(v))
                 for k, v in tree.items()
             }

@@ -87,7 +87,32 @@ def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def _quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic per-row symmetric int8: x ~= q * s[..., None]."""
+    x32 = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x32 / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _linear_int8(xq: jnp.ndarray, xs: jnp.ndarray, w: Dict[str, Any],
+                 b: Optional[jnp.ndarray], dtype) -> jnp.ndarray:
+    """int8 x int8 MXU matmul on pre-quantized activations (W8A8 path)."""
+    acc = jnp.einsum(
+        "...i,io->...o", xq, w["q8"], preferred_element_type=jnp.int32)
+    y = (acc.astype(jnp.float32) * xs[..., None]
+         * w["s8"].astype(jnp.float32)[..., None, :]).astype(dtype)
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
 def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if isinstance(w, dict) and "q8" in w:
+        # W8A8: per-row dynamic activation int8 + int8 x int8 MXU matmul
+        # (2x the bf16 peak on v5e); scales fold back after the dot.
+        xq, xs = _quantize_rows(x)
+        return _linear_int8(xq, xs, w, b, x.dtype)
     if isinstance(w, dict):  # int8 weight-only leaf {"q", "s"} (models.quant)
         w = w["q"].astype(x.dtype) * w["s"].astype(x.dtype)[..., None, :]
     else:
@@ -223,6 +248,12 @@ def _mha(
         q = _split_heads(qkv[..., :d], n_heads)
         k = _split_heads(qkv[..., d: 2 * d], n_heads)
         v = _split_heads(qkv[..., 2 * d:], n_heads)
+    elif x is kv and isinstance(p["q_w"], dict) and "q8" in p["q_w"]:
+        # W8A8 self-attention: quantize the shared input once for q/k/v.
+        xq, xs = _quantize_rows(x)
+        q = _split_heads(_linear_int8(xq, xs, p["q_w"], p["q_b"], x.dtype), n_heads)
+        k = _split_heads(_linear_int8(xq, xs, p["k_w"], None, x.dtype), n_heads)
+        v = _split_heads(_linear_int8(xq, xs, p["v_w"], p["v_b"], x.dtype), n_heads)
     else:
         q = _split_heads(_linear(x, p["q_w"], p["q_b"]), n_heads)
         k = _split_heads(_linear(kv, p["k_w"], None), n_heads)
@@ -258,12 +289,44 @@ def _mlp(x: jnp.ndarray, p: Dict[str, Any]) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("arch", "compute_dtype"))
+def _conv_stem(mel: jnp.ndarray, enc: Dict[str, Any], dtype) -> jnp.ndarray:
+    """Whisper's conv stem: k=3 conv1 + stride-2 conv2, GELU after each
+    (reference ``mlx_modules.py:186-187``). Returns time-major (B, T//2, d).
+
+    Measured on v5e (tools/conv_stem_probe.py, bs=32 x 30 s): XLA's native
+    1-D conv lowering runs this in ~25 ms; re-expressing the convs as
+    3-tap shifted matmuls measured *slower* (~32 ms) — the strided tap
+    slices and f32 accumulator passes cost more than conv's internal
+    im2col. Keep the native conv.
+    """
+    x = mel.astype(dtype)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, enc["conv1"]["w"].shape, ("NCH", "OIH", "NCH"))
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1"]["w"].astype(dtype), (1,), [(1, 1)],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+        precision=_prec(dtype),
+    ).astype(dtype) + enc["conv1"]["b"].astype(dtype)[None, :, None]
+    x = _gelu(x)
+    dn2 = jax.lax.conv_dimension_numbers(
+        x.shape, enc["conv2"]["w"].shape, ("NCH", "OIH", "NCH"))
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2"]["w"].astype(dtype), (2,), [(1, 1)],
+        dimension_numbers=dn2, preferred_element_type=jnp.float32,
+        precision=_prec(dtype),
+    ).astype(dtype) + enc["conv2"]["b"].astype(dtype)[None, :, None]
+    x = _gelu(x)
+    return jnp.transpose(x, (0, 2, 1))                    # (B, T//2, d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("arch", "compute_dtype", "act_sharding"))
 def encoder_forward(
     params: WhisperParams,
     mel: jnp.ndarray,            # (B, n_mels, T_mel)
     arch: WhisperArch,
     compute_dtype: jnp.dtype = jnp.float32,
+    act_sharding=None,
 ) -> jnp.ndarray:
     """Conv stem + transformer stack + final LN. Returns (B, T_mel//2, d).
 
@@ -271,24 +334,15 @@ def encoder_forward(
     already truncated (flexible fine-tunes, ``mlx_modules.py:198-199``) or
     interpolated (HF weights, ``nvidia/asr_pipeline.py:15-27``) to
     ``T_mel // 2`` rows — both mechanisms live in ``models/load.py``.
+
+    ``act_sharding``: optional ``NamedSharding`` for the (B, T, d)
+    activations, re-asserted at every layer boundary. Sharding the T axis
+    over a mesh axis gives **sequence parallelism** for long audio: LN /
+    MLP / projections run fully sharded over time, and GSPMD all-gathers
+    K/V per attention only (``parallel.mesh.seq_sharding``).
     """
     enc = params["encoder"]
-    x = mel.astype(compute_dtype)
-
-    dn = jax.lax.conv_dimension_numbers(x.shape, enc["conv1"]["w"].shape, ("NCH", "OIH", "NCH"))
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv1"]["w"].astype(compute_dtype), (1,), [(1, 1)], dimension_numbers=dn,
-        preferred_element_type=jnp.float32, precision=_prec(compute_dtype),
-    ).astype(compute_dtype) + enc["conv1"]["b"].astype(compute_dtype)[None, :, None]
-    x = _gelu(x)
-    dn2 = jax.lax.conv_dimension_numbers(x.shape, enc["conv2"]["w"].shape, ("NCH", "OIH", "NCH"))
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv2"]["w"].astype(compute_dtype), (2,), [(1, 1)], dimension_numbers=dn2,
-        preferred_element_type=jnp.float32, precision=_prec(compute_dtype),
-    ).astype(compute_dtype) + enc["conv2"]["b"].astype(compute_dtype)[None, :, None]
-    x = _gelu(x)
-
-    x = jnp.transpose(x, (0, 2, 1))                     # (B, T, d)
+    x = _conv_stem(mel, enc, compute_dtype)             # (B, T, d)
     t = x.shape[1]
     n_pos = enc["pos_emb"].shape[0]
     if t > n_pos:
@@ -313,6 +367,9 @@ def encoder_forward(
 
     n_heads = arch.encoder_heads
 
+    if act_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, act_sharding)
+
     def layer(carry, lp):
         h = carry
         a_in = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"])
@@ -320,6 +377,8 @@ def encoder_forward(
         h = h + a
         m = _mlp(_layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"]), lp["mlp"])
         h = h + m
+        if act_sharding is not None:
+            h = jax.lax.with_sharding_constraint(h, act_sharding)
         return h, None
 
     import os

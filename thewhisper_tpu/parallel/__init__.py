@@ -4,5 +4,6 @@ from thewhisper_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     batch_sharding,
     replicated,
+    seq_sharding,
     shard_params,
 )

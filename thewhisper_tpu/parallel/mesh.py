@@ -111,6 +111,21 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
 
 
+def seq_sharding(mesh: Mesh) -> NamedSharding:
+    """Sequence-parallel sharding for (B, T, d) encoder activations.
+
+    Batch over ``dp``, **time over ``tp``**: LN / MLP / q-k-v-o projections
+    run fully sharded along the sequence, and GSPMD inserts an all-gather
+    of K/V per attention (blockwise-attention style — each shard's queries
+    attend over the gathered full sequence). Use for long-audio encoder
+    batches where a single chip's HBM cannot hold the (B, T, d)
+    activations; pass to ``models.whisper.encoder_forward(act_sharding=…)``.
+    The reference has no sequence parallelism (SURVEY §2.6) — long audio is
+    time-domain chunked; this exists for the multi-chip serving path.
+    """
+    return NamedSharding(mesh, P("dp", "tp", None))
+
+
 def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a param pytree onto the mesh with TP shardings."""
     shardings = param_shardings(mesh)
