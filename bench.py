@@ -179,6 +179,39 @@ def main():
         f"{fixed*1e3:.0f} ms -> RTFx {rtfx112:.0f} (112 steps) / "
         f"{rtfx224:.0f} (224 steps)")
 
+    # --- "S+" variant: W8A8 encoder (int8 activations + weights) -----------
+    # The reference's TensorRT "S" engines are int8 end to end
+    # (benchmark/README.md:92-94); this is the TPU analog. Kept out of the
+    # headline until WER is validated on real weights.
+    log("quantizing encoder W8A8 for the S+ variant...")
+    params_sp = quantize_params(
+        params30, components=("encoder",), activation_int8=True)
+    eng_sp = WhisperEngine(
+        params_sp, arch30, compute_dtype=compute_dtype, batch_buckets=(32,),
+        cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
+    del eng32
+    log("compiling S+ bs=32 offline programs...")
+    eng_sp.transcribe_audio(audio32, s_opts)
+    eng_sp.transcribe_audio(audio32, l_opts)
+
+    def timed_sp(o, n=6):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            eng_sp.transcribe_audio(audio32, o)
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
+
+    t16p = timed_sp(s_opts)
+    t144p = timed_sp(l_opts)
+    ms_step_p = (t144p - t16p) / (144 - 16) * 1e3
+    fixed_p = max(t16p - 16 * ms_step_p / 1e3, 0.0)
+    rtfx112_p = 600.0 / (fixed_p + 112 * ms_step_p / 1e3)
+    rtfx224_p = 600.0 / (fixed_p + 224 * ms_step_p / 1e3)
+    log(f"offline bs=32 S+ (W8A8 encoder): {ms_step_p:.2f} ms/step, fixed "
+        f"{fixed_p*1e3:.0f} ms -> RTFx {rtfx112_p:.0f} (112) / "
+        f"{rtfx224_p:.0f} (224)")
+
     print(json.dumps({
         "metric": "decode_tok_s",
         "value": round(tok_s, 2),
@@ -188,6 +221,8 @@ def main():
         "stream_p95_ms": round(p95, 1),
         "offline_bs32_rtfx112": round(rtfx112, 1),
         "offline_bs32_rtfx224": round(rtfx224, 1),
+        "offline_bs32_rtfx112_splus": round(rtfx112_p, 1),
+        "offline_bs32_rtfx224_splus": round(rtfx224_p, 1),
     }))
 
 

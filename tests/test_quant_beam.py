@@ -359,3 +359,26 @@ def test_w8a8_engine_end_to_end(tiny):
     # Same greedy argmax on a random model (weak but real signal, matching
     # the weight-only int8 test's bar).
     np.testing.assert_array_equal(res.tokens, ref.tokens)
+
+
+def test_from_checkpoint_int8_all(tmp_path):
+    """from_checkpoint(quantize='int8-all') builds the S+ engine."""
+    import subprocess
+    import sys
+
+    ckpt = tmp_path / "tiny"
+    subprocess.run(
+        [sys.executable, "tools/make_tiny_checkpoint.py", str(ckpt)],
+        check=True, capture_output=True)
+    eng = WhisperEngine.from_checkpoint(
+        str(ckpt), chunk_length_s=30.0, quantize="int8-all")
+    enc_leaf = eng.params["encoder"]["layers"]["mlp"]["fc1_w"]
+    dec_leaf = eng.params["decoder"]["layers"]["mlp"]["fc1_w"]
+    assert set(enc_leaf) == {"q8", "s8"}          # W8A8 encoder
+    assert set(dec_leaf) == {"q", "s"}            # weight-only decoder
+    assert eng.cross_kv_int8
+    mel = np.random.default_rng(10).standard_normal(
+        (1, eng.arch.n_mels, 100)).astype(np.float32)
+    res = eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=4, language="en"))
+    assert res.tokens.shape[0] == 1
