@@ -152,7 +152,7 @@ def test_word_timestamps_skip_special_tokens_without_shift(
     pipe = ASRPipeline(tiny_pipeline.engine, tokenizer=MapTokenizer(),
                        chunk_length_s=3)
     pipe.engine = StubEngine()
-    seqs, ts_seqs, _ = pipe._decode_windows(
+    seqs, ts_seqs, _, _ = pipe._decode_windows(
         [np.zeros(16000, np.float32)], [0],
         GenerationOptions(max_new_tokens=6, language="en",
                           return_timestamps=True),
@@ -174,3 +174,42 @@ def test_pipeline_beam_word_timestamps(tiny_pipeline):
     for ch in out["chunks"]:
         s, e = ch["timestamp"]
         assert s is not None and (e is None or e >= s)
+
+
+def test_auto_detect_language_path(tiny_pipeline):
+    """language=None: detection mel is reused (no re-featurize), the
+    detected code drives word segmentation, and output is well-formed."""
+    pipe = ASRPipeline(tiny_pipeline.engine, tokenizer=MapTokenizer(),
+                       chunk_length_s=3, language=None)
+    calls = {"audio": 0, "features": 0}
+    orig_audio = pipe.engine.transcribe_audio
+    orig_feats = pipe.engine.transcribe_features
+
+    def count_audio(*a, **k):
+        calls["audio"] += 1
+        return orig_audio(*a, **k)
+
+    def count_feats(*a, **k):
+        calls["features"] += 1
+        return orig_feats(*a, **k)
+
+    pipe.engine.transcribe_audio = count_audio
+    pipe.engine.transcribe_features = count_feats
+    try:
+        out = pipe(_audio(2.0, seed=9), return_timestamps="word",
+                   generate_kwargs={"max_new_tokens": 6})
+    finally:
+        pipe.engine.transcribe_audio = orig_audio
+        pipe.engine.transcribe_features = orig_feats
+    assert "text" in out and "chunks" in out
+    # Detection path must reuse the mel: features entry point only.
+    assert calls["features"] == 1 and calls["audio"] == 0
+
+
+def test_auto_detect_batch_languages(tiny_pipeline):
+    pipe = ASRPipeline(tiny_pipeline.engine, tokenizer=MapTokenizer(),
+                       chunk_length_s=3, language=None)
+    outs = pipe.transcribe_batch([_audio(1.0, seed=1), _audio(1.0, seed=2)],
+                                 generate_kwargs={"max_new_tokens": 4})
+    assert len(outs) == 2
+    assert all("text" in o for o in outs)

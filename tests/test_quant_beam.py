@@ -382,3 +382,16 @@ def test_from_checkpoint_int8_all(tmp_path):
     res = eng.transcribe_features(
         mel, GenerationOptions(max_new_tokens=4, language="en"))
     assert res.tokens.shape[0] == 1
+
+
+def test_detect_then_transcribe_composition(tiny):
+    """detect_language's ndarray output feeds transcribe_* directly
+    (regression: `if languages:` raised on numpy arrays for batch > 1)."""
+    arch, params = tiny
+    eng = WhisperEngine(params, arch, special=SP, batch_buckets=(2,))
+    mel = np.random.default_rng(11).standard_normal((2, 80, 100)).astype(np.float32)
+    codes, _ = eng.detect_language(mel)
+    assert isinstance(codes, np.ndarray)
+    res = eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=4), languages=codes)
+    assert res.tokens.shape[0] == 2

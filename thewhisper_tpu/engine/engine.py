@@ -131,9 +131,11 @@ class WhisperEngine:
         base = np.asarray(
             self.build_prompt(options.language, options.task), np.int32)
         rows = np.tile(base, (bb, 1))
-        if languages:
-            for i, lang in enumerate(languages[:bb]):
-                rows[i] = self.build_prompt(lang, options.task)
+        # `languages` may be a numpy array (detect_language's return) —
+        # no bare truthiness, it raises on arrays of length > 1.
+        if languages is not None and len(languages):
+            for i, lang in enumerate(list(languages)[:bb]):
+                rows[i] = self.build_prompt(str(lang), options.task)
         return rows
 
     # -- compiled program ----------------------------------------------------
@@ -391,14 +393,17 @@ class WhisperEngine:
         """
         from thewhisper_tpu.config import LANGUAGES
 
-        mel = np.asarray(mel, dtype=np.float32)
+        if not isinstance(mel, jax.Array):
+            # Host input; device-resident mels stay on device (no fetch).
+            mel = np.asarray(mel, dtype=np.float32)
         if mel.ndim == 2:
             mel = mel[None]
         b = mel.shape[0]
         bb = _bucket_batch(b, self.batch_buckets)
         if bb != b:
             mel = np.concatenate(
-                [mel, np.zeros((bb - b, *mel.shape[1:]), np.float32)], axis=0)
+                [np.asarray(mel, np.float32),
+                 np.zeros((bb - b, *mel.shape[1:]), np.float32)], axis=0)
         fn = self._detect_language_fn(bb, mel.shape[-1])
         probs = np.asarray(fn(self.params, jnp.asarray(mel)))[:b]
         idx = probs.argmax(-1)

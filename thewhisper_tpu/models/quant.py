@@ -60,8 +60,9 @@ def quantize_embedding(w: np.ndarray) -> Dict[str, Any]:
 def quantize_weight_w8a8(w: np.ndarray) -> Dict[str, Any]:
     """Like :func:`quantize_weight`, but marked for the **W8A8** compute
     path: ``models.whisper._linear`` quantizes the activations per row on
-    the fly and runs a true int8 x int8 MXU contraction (2x the bf16 peak
-    on v5e) instead of dequantize-into-bf16-matmul.
+    the fly and runs a true int8 x int8 MXU contraction (measured
+    ~1.3-1.4x bf16 end to end on v5e) instead of dequantize-into-bf16-
+    matmul.
 
     Intended for the compute-bound encoder (the reference's TensorRT "S"
     engines are int8 end to end, ``benchmark/README.md:92-94``); the

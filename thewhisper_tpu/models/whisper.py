@@ -110,7 +110,8 @@ def _linear_int8(xq: jnp.ndarray, xs: jnp.ndarray, w: Dict[str, Any],
 def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray]) -> jnp.ndarray:
     if isinstance(w, dict) and "q8" in w:
         # W8A8: per-row dynamic activation int8 + int8 x int8 MXU matmul
-        # (2x the bf16 peak on v5e); scales fold back after the dot.
+        # (measured ~1.3-1.4x bf16 end to end on v5e,
+        # tools/int8_matmul_probe.py); scales fold back after the dot.
         xq, xs = _quantize_rows(x)
         return _linear_int8(xq, xs, w, b, x.dtype)
     if isinstance(w, dict):  # int8 weight-only leaf {"q", "s"} (models.quant)
@@ -202,9 +203,11 @@ def _attention(
     mask: Optional[jnp.ndarray],  # broadcastable to (B, H, Sq, Sk), True=keep
     return_probs: bool = False,
     valid_len: Optional[int] = None,
+    allow_flash: bool = True,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     dh = q.shape[-1]
-    if (mask is None and not return_probs and q.shape[1] >= 256
+    if (allow_flash and mask is None and not return_probs
+            and q.shape[1] >= 256
             and q.shape[1] == k.shape[1] and _flash_enabled()):
         return _flash_attention(q, k, v, valid_len=valid_len), None
     scale = dh ** -0.5
@@ -235,6 +238,7 @@ def _mha(
     mask: Optional[jnp.ndarray] = None,
     return_probs: bool = False,
     valid_len: Optional[int] = None,
+    allow_flash: bool = True,
 ):
     """Full attention: project q from x, k/v from kv, combine heads."""
     if x is kv and not isinstance(p["q_w"], dict) and _fuse_qkv_enabled():
@@ -258,7 +262,8 @@ def _mha(
         q = _split_heads(_linear(x, p["q_w"], p["q_b"]), n_heads)
         k = _split_heads(_linear(kv, p["k_w"], None), n_heads)
         v = _split_heads(_linear(kv, p["v_w"], p["v_b"]), n_heads)
-    out, probs = _attention(q, k, v, mask, return_probs, valid_len=valid_len)
+    out, probs = _attention(q, k, v, mask, return_probs, valid_len=valid_len,
+                            allow_flash=allow_flash)
     b, s, h, dh = out.shape
     out = _linear(out.reshape(b, s, h * dh), p["o_w"], p["o_b"])
     return out, probs
@@ -358,7 +363,12 @@ def encoder_forward(
     # isolated garbage rows is 2% wasted compute). Round-2 profiling: the
     # per-layer q/k/v pad + output slice cost ~100 ms of the 900 ms
     # bs=32 x 30 s encoder.
-    use_flash = _flash_enabled() and t >= 256
+    # Sequence parallelism disables the Pallas flash kernel: GSPMD has no
+    # partitioning rule for the Mosaic custom call, so a time-sharded
+    # input would be gathered/replicated per chip — the opposite of SP's
+    # purpose. The einsum path partitions cleanly (logits sharded over the
+    # q-time axis, K/V all-gathered per layer).
+    use_flash = _flash_enabled() and t >= 256 and act_sharding is None
     valid_len = None
     if use_flash and t % 512:
         s_pad = ((t + 511) // 512) * 512
@@ -373,7 +383,8 @@ def encoder_forward(
     def layer(carry, lp):
         h = carry
         a_in = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"])
-        a, _ = _mha(a_in, a_in, lp["attn"], n_heads, valid_len=valid_len)
+        a, _ = _mha(a_in, a_in, lp["attn"], n_heads, valid_len=valid_len,
+                    allow_flash=use_flash)
         h = h + a
         m = _mlp(_layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"]), lp["mlp"])
         h = h + m

@@ -51,11 +51,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                                   # (block_q, dh) bf16
-    k = k_ref[0]                                   # (block_k, dh) bf16
+    q = q_ref[0]                                   # (block_q, dh)
+    k = k_ref[0]                                   # (block_k, dh)
+    # CLAUDE.md invariant: f32 contractions force HIGHEST (XLA's default
+    # f32 precision is reduced); bf16 keeps the MXU-native default.
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (block_q, block_k) f32
+        preferred_element_type=jnp.float32,
+        precision=prec)                            # (block_q, block_k) f32
 
     if valid_len < s_total:
         # Mask only the k-blocks that overlap the pad tail; clean blocks
@@ -78,7 +82,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     m_ref[:] = m_new
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (block_q, dh) f32
+        preferred_element_type=jnp.float32,
+        precision=prec)                            # (block_q, dh) f32
     acc_ref[:] = acc_ref[:] * corr + pv
 
     @pl.when(ik == n_k - 1)

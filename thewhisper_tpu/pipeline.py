@@ -158,8 +158,8 @@ class ASRPipeline:
             max_new_tokens=max_new_tokens, language=language, task=task,
             return_timestamps=want_words, num_beams=num_beams,
         )
-        seqs, ts_seqs = self._decode_windows(
-            windows, offsets, opts, bsz, want_words, fallback=fallback)[:2]
+        seqs, ts_seqs, _, langs = self._decode_windows(
+            windows, offsets, opts, bsz, want_words, fallback=fallback)
 
         if len(seqs) == 1:
             tokens, token_ts_list = seqs[0], (ts_seqs[0] if want_words else None)
@@ -169,7 +169,14 @@ class ASRPipeline:
             tokens = find_longest_common_sequence(seqs)
             token_ts_list = None
 
-        return self._format_output(tokens, token_ts_list, language, want_words)
+        # Word segmentation must follow the (possibly detected) language —
+        # CJK splits on unicode, not spaces. One file: majority vote over
+        # the per-window detections.
+        out_language = language
+        if out_language is None and langs:
+            out_language = max(set(langs), key=langs.count)
+        return self._format_output(tokens, token_ts_list, out_language,
+                                   want_words)
 
     def transcribe_batch(
         self,
@@ -198,12 +205,13 @@ class ASRPipeline:
             max_new_tokens=max_new_tokens, language=language, task=task,
             return_timestamps=want_words, num_beams=num_beams,
         )
-        seqs, ts_seqs, lp_seqs = self._decode_windows(
+        seqs, ts_seqs, lp_seqs, langs = self._decode_windows(
             windows, [0] * len(windows), opts, len(windows), want_words,
             bucket_s=bucket_s, with_logprobs=True, fallback=fallback)
         return [
             self._format_output(
-                seqs[i], ts_seqs[i] if want_words else None, language,
+                seqs[i], ts_seqs[i] if want_words else None,
+                language if language is not None else langs[i],
                 want_words, token_logprobs=lp_seqs[i])
             for i in range(len(windows))
         ]
@@ -214,12 +222,19 @@ class ASRPipeline:
                         bucket_s: Optional[float] = None,
                         with_logprobs: bool = False,
                         fallback: Optional[Sequence[float]] = None):
-        """Run windows through the engine -> per-window (ids, (start,end))."""
+        """Run windows through the engine -> per-window (ids, (start,end)).
+
+        Returns (seqs, ts_seqs, lp_seqs, langs): ``langs`` is the per-window
+        language code — detected when ``opts.language is None``, else the
+        forced one (word segmentation is language-dependent; CJK tokens
+        split on unicode, not spaces).
+        """
         featurizer = (self.featurizer if bucket_s is None
                       else self._featurizer_for(bucket_s))
         seqs: List[List[int]] = []
         ts_seqs: List[List[Tuple[Optional[float], Optional[float]]]] = []
         lp_seqs: List[List[float]] = []
+        langs: List[Optional[str]] = []
         for start in range(0, len(windows), bsz):
             batch = windows[start: start + bsz]
             # Fused device program: featurization runs inside the same XLA
@@ -228,12 +243,18 @@ class ASRPipeline:
             languages = None
             if opts.language is None:
                 # Auto-detect per sample (the reference rides HF generate's
-                # detection when no language is forced).
-                codes, _ = self.engine.detect_language(
-                    np.asarray(featurizer(audio), dtype=np.float32))
+                # detection when no language is forced). The mel computed
+                # for detection is REUSED for the transcription call —
+                # featurizing once and keeping it on device (no host round
+                # trip, no re-featurize in the fused audio program).
+                mel = featurizer(audio)
+                codes, _ = self.engine.detect_language(mel)
                 languages = [str(c) for c in codes]
-            res = self._transcribe_with_fallback(audio, opts, fallback,
-                                                 languages=languages)
+                res = self._transcribe_with_fallback(
+                    audio, opts, fallback, languages=languages, mel=mel)
+            else:
+                res = self._transcribe_with_fallback(audio, opts, fallback)
+            langs.extend((languages or [opts.language] * len(batch))[:len(batch)])
             p = res.prompt_len
             if want_words:
                 # Alignment rows populated per sample: prompt + generated - 1.
@@ -270,19 +291,27 @@ class ASRPipeline:
                             t1 = None
                         ts.append((t0, t1))
                     ts_seqs.append(ts)
-        return seqs, ts_seqs, lp_seqs
+        return seqs, ts_seqs, lp_seqs, langs
 
     # -- temperature fallback ladder (opt-in) --------------------------------
 
     def _transcribe_with_fallback(self, audio, opts, temperatures,
-                                  languages=None):
+                                  languages=None, mel=None):
         """openai-whisper style quality gating: windows whose output is
         repetitive (zlib compression ratio > 2.4) or low-confidence (mean
         token logprob < -1.0) are re-decoded by sampling at the next
         temperature in the ladder. Off unless ``fallback_temperatures`` is
-        passed in generate_kwargs."""
-        res = self.engine.transcribe_audio(
-            audio, opts, use_pallas=self._use_pallas, languages=languages)
+        passed in generate_kwargs.
+
+        ``mel``: device-resident features already computed for this audio
+        (the language-detection path) — reused instead of re-featurizing.
+        """
+        if mel is not None:
+            res = self.engine.transcribe_features(
+                mel, opts, languages=languages)
+        else:
+            res = self.engine.transcribe_audio(
+                audio, opts, use_pallas=self._use_pallas, languages=languages)
         if not temperatures:
             return res
         for step, t in enumerate(t for t in temperatures if t > 0.0):
@@ -371,8 +400,9 @@ def _merge_result_rows(base, sub, idx: Sequence[int]):
 def _pad_stack(windows: Sequence[np.ndarray], win: int) -> np.ndarray:
     out = np.zeros((len(windows), win), dtype=np.float32)
     for i, w in enumerate(windows):
-        n = min(len(w), win)
-        out[i, :n] = w[:n]
+        # A window longer than the bucket is an upstream bucketing bug —
+        # fail loudly rather than silently dropping audio.
+        out[i, : len(w)] = w
     return out
 
 

@@ -1,8 +1,10 @@
 """Identify the TPU and measure its actual peaks (matmul TFLOP/s, HBM GB/s).
 
-The framework's perf docs assumed v5e (197 bf16 TFLOP/s, 819 GB/s); the
-int8 probe measured 418 TFLOP/s bf16 — v5p territory. Calibrate rooflines
-against reality instead of the assumed part.
+The chip reports "TPU v5 lite" (v5e: 197 bf16 TFLOP/s, 819 GB/s HBM).
+Methodology: every timing loop's carry is a FULL max-reduction of the
+output — a carry of out[0,0] lets XLA slice each matmul down to one
+row-column dot (a first version of this probe "measured" 418-587 TFLOP/s
+that way), and a *0.0 carry DCEs the op entirely.
 """
 
 import json
@@ -46,7 +48,8 @@ def main():
         def fn(a, w):
             def body(i, c):
                 out = (a + c.astype(a.dtype)) @ w
-                return out.reshape(-1)[0].astype(jnp.float32) * 1e-30
+                # Full reduction: no slice-pushdown can skip the matmul.
+                return jnp.max(jnp.abs(out)).astype(jnp.float32) * 1e-30
             return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
 
         float(fn(a, w))
@@ -74,7 +77,7 @@ def main():
     def copy_loop(x):
         def body(i, c):
             y = x + c
-            return y.reshape(-1)[0] * 0.0
+            return jnp.max(y) * 1e-30
         return jax.lax.fori_loop(0, 8, body, jnp.float32(0.0))
 
     float(copy_loop(x))
@@ -95,7 +98,7 @@ def main():
     def tanh_loop(x):
         def body(i, c):
             y = jnp.tanh(x + c.astype(x.dtype))
-            return y.reshape(-1)[0].astype(jnp.float32) * 0.0
+            return jnp.max(y).astype(jnp.float32) * 1e-30
         return jax.lax.fori_loop(0, 8, body, jnp.float32(0.0))
 
     float(tanh_loop(xb))
