@@ -110,6 +110,17 @@ def main():
     tok_s = (n_long - n_short) / max(t_long - t_short, 1e-9)
     log(f"bs=1: {n_short} tok in {t_short*1e3:.1f} ms / "
         f"{n_long} tok in {t_long*1e3:.1f} ms -> {tok_s:.1f} tok/s")
+    # TTFT = the fixed (token-count-independent) cost: encode + prefill +
+    # one host dispatch. Includes one ~25 ms tunnel RTT that a
+    # directly-attached chip would not pay. Reference turbo-"S" bs=1 TTFT:
+    # 11.9 ms L40S / 9.8 ms H100 (benchmark/README.md:104-134).
+    step_s = 1.0 / max(tok_s, 1e-9)
+    ttft = max(t_short - n_short * step_s, 0.0)
+    # bs=1 RTFx at the 144-token point (conservative: ~3x the typical
+    # token count for 10 s of speech). Reference turbo-"S" bs=1: 149-208.
+    rtfx_bs1 = 10.0 / max(t_long, 1e-9)
+    log(f"bs=1: TTFT {ttft*1e3:.1f} ms (incl. tunnel RTT), "
+        f"RTFx@144tok {rtfx_bs1:.1f}")
 
     # --- large batch throughput (stderr diagnostics) ------------------------
     mel8 = np.repeat(mel, 8, axis=0)
@@ -217,6 +228,8 @@ def main():
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / 220.0, 3),
+        "ttft_bs1_ms": round(ttft * 1e3, 1),
+        "rtfx_bs1_144tok": round(rtfx_bs1, 1),
         "stream_p50_ms": round(p50, 1),
         "stream_p95_ms": round(p95, 1),
         "offline_bs32_rtfx112": round(rtfx112, 1),

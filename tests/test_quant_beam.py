@@ -51,6 +51,34 @@ def test_quantize_roundtrip_error():
     assert (err <= bound).all()
 
 
+def test_quantize_int4_roundtrip_error():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((3, 64, 128)).astype(np.float32)
+    q = quantize_weight(w, bits=4)
+    assert q["q"].dtype == jnp.int4 and q["q"].shape == w.shape
+    deq = np.asarray(dequantize_weight(q))
+    # Per-channel int4 (qmax=7): max error bounded by scale/2 per channel.
+    err = np.abs(deq - w)
+    bound = np.asarray(q["s"])[:, None, :] * 0.5 + 1e-6
+    assert (err <= bound).all()
+    # int4 error is ~16x int8's but still small relative to the weights.
+    assert err.max() < np.abs(w).max() * 0.1
+
+
+def test_int4_engine_runs(tiny):
+    arch, params = tiny
+    qparams = quantize_params(params, components=("decoder",), bits=4)
+    # HBM accounting: jnp.int4 packs two values per byte.
+    assert quantized_bytes(qparams) < quantized_bytes(
+        quantize_params(params, components=("decoder",)))
+    eng = WhisperEngine(qparams, arch, special=SP, batch_buckets=(1,))
+    mel = np.random.default_rng(4).standard_normal((1, 80, 100)).astype(np.float32)
+    res = eng.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=6, language="en"))
+    toks = np.asarray(res.tokens)[0, : int(res.num_generated[0])]
+    assert ((0 <= toks) & (toks < arch.vocab_size)).all()
+
+
 def test_quantized_decoder_close_to_fp32(tiny):
     arch, params = tiny
     qparams = quantize_params(params, components=("decoder",))

@@ -441,7 +441,12 @@ class WhisperEngine:
         matmuls (v5e int8 peak is 2x bf16; measured ~1.3x end-to-end per
         matmul, tools/int8_matmul_probe.py). Encoder quantization error is
         larger than weight-only; validate WER on real weights before
-        production use.
+        production use. ``quantize="int4"`` ("S4", experimental) stores
+        decoder linear weights as ``jnp.int4`` (two nibbles/byte in HBM —
+        half the int8 weight bandwidth at ~16x the rounding error); the
+        tied embedding stays per-row int8. NOTE: jnp.int4 arrays cannot
+        cross the axon TPU tunnel (plugin transfer bug) — usable on
+        directly-attached TPUs and CPU only (tools/decode_bs1_probe.py).
         """
         import json
         import os
@@ -451,12 +456,13 @@ class WhisperEngine:
         params, arch = load_checkpoint(
             path, dtype=compute_dtype, chunk_length_s=chunk_length_s,
             position_mode=position_mode)
-        if quantize in ("int8", "int8-weights", "int8-all"):
+        if quantize in ("int8", "int8-weights", "int8-all", "int4"):
             from thewhisper_tpu.models.quant import quantize_params
 
             params = quantize_params(
                 params, components=("decoder",),
-                quantize_embedding_table=(quantize != "int8-weights"))
+                quantize_embedding_table=(quantize != "int8-weights"),
+                bits=4 if quantize == "int4" else 8)
             if quantize == "int8-all":
                 params = quantize_params(
                     params, components=("encoder",), activation_int8=True)
@@ -473,4 +479,5 @@ class WhisperEngine:
         return WhisperEngine(
             params, arch, compute_dtype=compute_dtype,
             suppress_tokens=suppress, begin_suppress_tokens=begin,
-            cross_kv_int8=(quantize in ("int8", "int8-weights", "int8-all")))
+            cross_kv_int8=(quantize in ("int8", "int8-weights", "int8-all",
+                                        "int4")))

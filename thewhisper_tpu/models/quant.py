@@ -23,18 +23,25 @@ import numpy as np
 _QUANT_KEYS = {"q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w"}
 
 
-def quantize_weight(w: np.ndarray) -> Dict[str, Any]:
-    """Symmetric per-output-channel int8: w ~= q * s, q in [-127, 127].
+def quantize_weight(w: np.ndarray, bits: int = 8) -> Dict[str, Any]:
+    """Symmetric per-output-channel int8/int4: w ~= q * s.
 
     The contraction axis of a linear weight is -2 ("...i,io->...o"), so the
     scale reduces over it only — layer-stacked (L, in, out) weights get one
-    scale per (layer, out channel).
+    scale per (layer, out channel). ``bits=4`` stores ``jnp.int4`` (XLA
+    packs two nibbles per byte in HBM) — half the weight bandwidth of int8
+    at ~16x the rounding error; experimental "S4" decode mode.
     """
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    qmax = 127 if bits == 8 else 7
+    dtype = jnp.int8 if bits == 8 else jnp.int4
     w = np.asarray(w, dtype=np.float32)
     scale = np.max(np.abs(w), axis=-2)            # (..., out)
-    scale = np.maximum(scale, 1e-8) / 127.0
-    q = np.clip(np.round(w / scale[..., None, :]), -127, 127).astype(np.int8)
-    return {"q": jnp.asarray(q), "s": jnp.asarray(scale.astype(np.float32))}
+    scale = np.maximum(scale, 1e-8) / qmax
+    q = np.clip(np.round(w / scale[..., None, :]), -qmax, qmax)
+    return {"q": jnp.asarray(q.astype(np.int8), dtype=dtype),
+            "s": jnp.asarray(scale.astype(np.float32))}
 
 
 def dequantize_weight(leaf: Dict[str, Any], dtype=jnp.float32) -> jnp.ndarray:
@@ -81,6 +88,7 @@ def quantize_params(
     components: Sequence[str] = ("decoder",),
     quantize_embedding_table: bool = True,
     activation_int8: bool = False,
+    bits: int = 8,
 ) -> Dict[str, Any]:
     """Quantize the linear weights of the given top-level components.
 
@@ -94,7 +102,12 @@ def quantize_params(
     compute path (int8 activations quantized on the fly, int8 MXU matmul)
     — use for the encoder, where matmuls are compute-bound.
     """
-    make = quantize_weight_w8a8 if activation_int8 else quantize_weight
+    if activation_int8:
+        make = quantize_weight_w8a8
+    else:
+        import functools
+
+        make = functools.partial(quantize_weight, bits=bits)
 
     def convert(tree):
         if isinstance(tree, dict):
@@ -120,10 +133,19 @@ def quantize_params(
 
 
 def quantized_bytes(params: Dict[str, Any]) -> int:
-    """Total parameter bytes (for memory accounting in logs/tests)."""
+    """Total parameter bytes (for memory accounting in logs/tests).
+
+    Bit-accurate for sub-byte dtypes: ``jnp.int4`` counts as half a byte
+    (XLA packs two nibbles per byte in HBM even though the host-side
+    ``itemsize`` is 1).
+    """
     total = 0
     for leaf in jax.tree.leaves(params):
-        total += leaf.size * leaf.dtype.itemsize
+        try:
+            bits = jnp.iinfo(leaf.dtype).bits
+        except ValueError:           # floating dtypes
+            bits = leaf.dtype.itemsize * 8
+        total += leaf.size * bits // 8
     return total
 
 

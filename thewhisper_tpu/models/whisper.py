@@ -587,7 +587,20 @@ def _stack_step(params, x, arch, cache, position, align_sel):
     layers = dict(dec["layers"])
     layers["_align_sel"] = jnp.asarray(align_sel)
     xs = (layers, cache.cross_k, cache.cross_v, cache.self_k, cache.self_v)
-    x, (k_new, v_new, aligns) = jax.lax.scan(layer, x, xs)
+    import os
+
+    # Unrolling the per-token layer scan removes per-iteration loop
+    # overhead from the hot decode step at small batch: bs=1 int8 3320 ->
+    # 4115 tok/s on v5e (tools/decode_bs1_probe.py). At bs=32 the step is
+    # cross-KV-bandwidth-bound and unrolling measured a ~2% LOSS (1.58 ->
+    # 1.62 ms/step, tools/unroll_bs32_probe.py), so the default keys off
+    # the trace-time batch: unroll small batches, roll large ones. Capped
+    # at 4 so deep decoders (large-v3: 32 layers) don't blow up compile
+    # time. WHISPER_DECODER_UNROLL overrides both.
+    default_unroll = min(4, arch.decoder_layers) if x.shape[0] <= 8 else 1
+    unroll = int(os.environ.get(
+        "WHISPER_DECODER_UNROLL", str(default_unroll)))
+    x, (k_new, v_new, aligns) = jax.lax.scan(layer, x, xs, unroll=unroll)
     # Cache write as a fused elementwise select, NOT dynamic_update_slice:
     # XLA's DUS on a while-loop carry lowers to a pathological strided
     # kernel (~850 us for this 24 MB buffer on v5e); where(iota==pos, ...)
