@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--dp", type=int, default=None)
     ap.add_argument("--tp", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize layers in backward (fit large-v3 "
+                         "fine-tunes in 16 GB at ~1/3 extra FLOPs)")
     ap.add_argument("--save-every", type=int, default=0,
                     help="also save orbax train state every N steps")
     args = ap.parse_args()
@@ -98,7 +101,7 @@ def main():
     print(f"mesh: dp={mesh.devices.shape[0]} tp={mesh.devices.shape[1]}")
     params = shard_params(params, mesh)
     state, tx = init_train_state(params, learning_rate=args.learning_rate)
-    train_step = make_train_step(arch, tx)
+    train_step = make_train_step(arch, tx, remat=args.remat)
 
     rng = np.random.default_rng(0)
     seq_len = args.max_tokens

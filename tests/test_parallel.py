@@ -106,6 +106,49 @@ def test_sharded_train_step_decreases_loss(tiny_arch):
     assert int(state.step) == 5
 
 
+def test_remat_gradients_match(tiny_arch):
+    """jax.checkpoint changes memory, not math: grads must agree."""
+    from thewhisper_tpu.training.train import loss_fn
+
+    params = init_params(tiny_arch, seed=3)
+    rng = np.random.default_rng(4)
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal(
+            (2, tiny_arch.n_mels, 100), dtype=np.float32)),
+        "tokens": jnp.asarray(
+            rng.integers(0, tiny_arch.vocab_size, (2, 12)).astype(np.int32)),
+        "loss_mask": jnp.ones((2, 12), jnp.float32),
+    }
+    grad = jax.jit(jax.value_and_grad(loss_fn),
+                   static_argnums=(2, 3, 4))
+    l_ref, g_ref = grad(params, batch, tiny_arch, jnp.float32, False)
+    l_rm, g_rm = grad(params, batch, tiny_arch, jnp.float32, True)
+    assert np.isclose(float(l_ref), float(l_rm), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_rm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_remat_sharded_train_step(tiny_arch):
+    """Remat composes with the (dp, tp) sharded step."""
+    mesh = make_mesh(8)
+    params = shard_params(init_params(tiny_arch, seed=5), mesh)
+    state, tx = init_train_state(params, learning_rate=1e-3)
+    step = make_train_step(tiny_arch, tx, remat=True)
+    rng = np.random.default_rng(6)
+    batch = place_batch({
+        "mel": rng.standard_normal((8, tiny_arch.n_mels, 100),
+                                   dtype=np.float32),
+        "tokens": rng.integers(0, tiny_arch.vocab_size, (8, 16)).astype(np.int32),
+        "loss_mask": np.ones((8, 16), np.float32),
+    }, mesh)
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
 

@@ -325,15 +325,24 @@ def _conv_stem(mel: jnp.ndarray, enc: Dict[str, Any], dtype) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("arch", "compute_dtype", "act_sharding"))
+    jax.jit,
+    static_argnames=("arch", "compute_dtype", "act_sharding", "remat"))
 def encoder_forward(
     params: WhisperParams,
     mel: jnp.ndarray,            # (B, n_mels, T_mel)
     arch: WhisperArch,
     compute_dtype: jnp.dtype = jnp.float32,
     act_sharding=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Conv stem + transformer stack + final LN. Returns (B, T_mel//2, d).
+
+    ``remat=True`` wraps each layer body in ``jax.checkpoint``: the
+    backward pass recomputes layer internals instead of storing them, so
+    training activation memory drops from O(layers x internals) to the
+    layer-boundary residual stream (~8x for this block shape) at ~1/3 extra
+    FLOPs — the standard trade for fitting large-v3 fine-tunes on one chip.
+    Inference-only callers leave it off (no backward pass, no benefit).
 
     Flexible chunks: the caller supplies ``params["encoder"]["pos_emb"]``
     already truncated (flexible fine-tunes, ``mlx_modules.py:198-199``) or
@@ -394,6 +403,8 @@ def encoder_forward(
 
     import os
 
+    if remat:
+        layer = jax.checkpoint(layer)
     unroll = int(os.environ.get("WHISPER_ENCODER_UNROLL", "1"))
     x, _ = jax.lax.scan(layer, x, enc["layers"], unroll=unroll)
     if valid_len is not None:
@@ -691,10 +702,11 @@ def decoder_train_forward(
     enc_out: jnp.ndarray,         # (B, T, d)
     arch: WhisperArch,
     compute_dtype: jnp.dtype = jnp.float32,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Teacher-forced full-sequence decoder (training / parity tests).
 
-    Returns logits (B, S, V) in f32.
+    Returns logits (B, S, V) in f32. ``remat``: see ``encoder_forward``.
     """
     dec = params["decoder"]
     n_heads = arch.decoder_heads
@@ -714,6 +726,8 @@ def decoder_train_forward(
         h = h + _mlp(_layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"]), lp["mlp"])
         return h, None
 
+    if remat:
+        layer = jax.checkpoint(layer)
     x, _ = jax.lax.scan(layer, x, dec["layers"])
     x = _layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
     return _logits(dec, x)

@@ -48,16 +48,23 @@ def cross_entropy_loss(
 
 
 def loss_fn(params, batch: Dict[str, jnp.ndarray], arch: WhisperArch,
-            compute_dtype=jnp.float32) -> jnp.ndarray:
+            compute_dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
     """Batch: mel (B, n_mels, T), tokens (B, S), loss_mask (B, S).
 
     ``tokens`` holds the decoder input (prompt + transcript); the loss
     predicts ``tokens[:, 1:]`` from positions ``[:-1]`` under the mask
     (mask zeroes prompt and padding positions).
+
+    ``remat=True`` rematerializes each transformer layer in the backward
+    pass (``jax.checkpoint`` on the scanned layer bodies) — activation
+    memory drops to the layer-boundary residual stream, the standard trade
+    for fitting large-v3 (32+32 layers) fine-tunes on one 16 GB chip.
     """
-    enc = encoder_forward(params, batch["mel"], arch, compute_dtype)
+    enc = encoder_forward(params, batch["mel"], arch, compute_dtype,
+                          remat=remat)
     logits = decoder_train_forward(
-        params, batch["tokens"][:, :-1], enc, arch, compute_dtype)
+        params, batch["tokens"][:, :-1], enc, arch, compute_dtype,
+        remat=remat)
     return cross_entropy_loss(
         logits, batch["tokens"][:, 1:], batch["loss_mask"][:, 1:])
 
@@ -71,12 +78,12 @@ def init_train_state(params, learning_rate: float = 1e-5,
 
 
 def make_train_step(arch: WhisperArch, tx, compute_dtype=jnp.float32,
-                    donate: bool = True):
+                    donate: bool = True, remat: bool = False):
     """One jitted optimizer step: ``(state, batch) -> (state, loss)``."""
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, arch, compute_dtype)
+            state.params, batch, arch, compute_dtype, remat)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_opt, state.step + 1), loss
