@@ -122,6 +122,34 @@ def main():
     log(f"bs=1: TTFT {ttft*1e3:.1f} ms (incl. tunnel RTT), "
         f"RTFx@144tok {rtfx_bs1:.1f}")
 
+    # --- speculative (ngram) bs=1 diagnostics -------------------------------
+    # Free prompt-lookup drafting + 5-token verify (0.84x a step): exact
+    # greedy content, measured 1.32x on repetitive output
+    # (tools/spec_probe.py). Opt-in (draft="ngram"), reported here.
+    eng_ng = WhisperEngine(
+        params, arch, compute_dtype=compute_dtype, batch_buckets=(1,),
+        suppress_tokens=[SpecialTokens().eot], spec_ngram=True)
+    log("compiling ngram-speculative programs...")
+    eng_ng.transcribe_features(mel, short_opts)
+    eng_ng.transcribe_features(mel, long_opts)
+
+    def timed_ng(opts, iters=8):
+        ts = []
+        res = None
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            res = eng_ng.transcribe_features(mel, opts)
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts), res
+
+    tns, rns = timed_ng(short_opts)
+    tnl, rnl = timed_ng(long_opts)
+    spec_tok_s = ((int(rnl.num_generated[0]) - int(rns.num_generated[0]))
+                  / max(tnl - tns, 1e-9))
+    log(f"bs=1 ngram-speculative: {spec_tok_s:.1f} tok/s "
+        f"({spec_tok_s / max(tok_s, 1e-9):.2f}x plain)")
+    del eng_ng
+
     # --- large batch throughput (stderr diagnostics) ------------------------
     mel8 = np.repeat(mel, 8, axis=0)
     engine.transcribe_features(mel8, short_opts)
@@ -230,6 +258,7 @@ def main():
         "vs_baseline": round(tok_s / 220.0, 3),
         "ttft_bs1_ms": round(ttft * 1e3, 1),
         "rtfx_bs1_144tok": round(rtfx_bs1, 1),
+        "spec_ngram_tok_s": round(spec_tok_s, 1),
         "stream_p50_ms": round(p50, 1),
         "stream_p95_ms": round(p95, 1),
         "offline_bs32_rtfx112": round(rtfx112, 1),

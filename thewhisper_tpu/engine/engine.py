@@ -81,13 +81,43 @@ class WhisperEngine:
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         cache_dtype: Optional[jnp.dtype] = None,
         cross_kv_int8: bool = False,
+        draft_params: Optional[Dict[str, Any]] = None,
+        draft_arch: Optional[WhisperArch] = None,
+        spec_window: int = 4,
+        spec_ngram: bool = False,
     ):
+        """``draft_params``/``draft_arch`` enable speculative greedy
+        decoding (engine/speculative.py): the draft decoder proposes
+        ``spec_window`` tokens per round and the target verifies them in
+        one pass — output identical to plain greedy, only faster where the
+        draft agrees often. The draft shares this engine's encoder (its
+        cross-KV is computed from the same encoder states with the draft's
+        own projections, the distil-whisper deployment shape). Applies to
+        greedy calls only (``num_beams == 1``, ``temperature == 0``).
+        ``spec_ngram=True`` speculates via free prompt-lookup drafting
+        instead of a model (no extra weights; wins on repetitive speech,
+        never meaningfully loses — verify costs ~1.01x a step)."""
         self.arch = arch
         self.special = special or SpecialTokens.for_vocab(arch.vocab_size)
         self.compute_dtype = compute_dtype
         self.cache_dtype = cache_dtype or compute_dtype
         self.batch_buckets = tuple(batch_buckets)
         self.cross_kv_int8 = cross_kv_int8
+        self.draft_params = (jax.device_put(draft_params)
+                             if draft_params is not None else None)
+        self.draft_arch = draft_arch
+        self.spec_window = spec_window
+        self.spec_ngram = bool(spec_ngram)
+        if spec_ngram and draft_arch is not None:
+            raise ValueError("pick one: a draft model or ngram drafting")
+        if (draft_params is None) != (draft_arch is None):
+            raise ValueError("draft_params and draft_arch go together")
+        if draft_arch is not None and draft_arch.vocab_size != arch.vocab_size:
+            raise ValueError("draft vocab must match the target vocab")
+        if draft_arch is not None and draft_arch.d_model != arch.d_model:
+            raise ValueError(
+                "draft d_model must match the target (the draft's cross-KV "
+                "is computed from the shared encoder's states)")
         self.params = jax.device_put(params)
         self._suppress = (
             jnp.asarray(suppress_mask(arch.vocab_size, suppress_tokens))
@@ -152,8 +182,13 @@ class WhisperEngine:
         begin_suppress = self._begin_suppress
 
         cross_kv_int8 = self.cross_kv_int8
+        draft_arch = self.draft_arch
+        spec_ngram = self.spec_ngram
+        spec = ((draft_arch is not None or spec_ngram) and num_beams == 1
+                and temperature == 0.0)
+        spec_window = self.spec_window
 
-        def program(params, mel, prompt, seed):
+        def program(params, mel, prompt, seed, draft=None):
             enc = encoder_forward(params, mel, arch, compute_dtype)
             ck, cv = compute_cross_kv(params, enc, arch)
             if cross_kv_int8:
@@ -177,6 +212,34 @@ class WhisperEngine:
                     compute_dtype=compute_dtype,
                     capture_alignment=timestamps,
                     no_speech_id=self.special.no_speech)
+            elif spec:
+                from thewhisper_tpu.engine.speculative import (
+                    speculative_decode,
+                )
+
+                if not cross_kv_int8:
+                    ck = ck.astype(cache_dtype)
+                    cv = cv.astype(cache_dtype)
+                s_cap = prompt_len + max_new + spec_window + 1
+                cache = make_cache(arch, batch, s_cap, ck, cv,
+                                   dtype=cache_dtype)
+                if spec_ngram:
+                    d_cache = None
+                else:
+                    # Draft cross-KV: same encoder states, the draft
+                    # decoder's own projections (distil-whisper sharing).
+                    dck, dcv = compute_cross_kv(draft, enc, draft_arch)
+                    d_cache = make_cache(
+                        draft_arch, batch, s_cap, dck.astype(cache_dtype),
+                        dcv.astype(cache_dtype), dtype=cache_dtype)
+                res = speculative_decode(
+                    params, arch, draft, draft_arch, prompt, cache, d_cache,
+                    max_new, eot, spec_window=spec_window,
+                    suppress=suppress, begin_suppress=begin_suppress,
+                    capture_alignment=timestamps,
+                    compute_dtype=compute_dtype,
+                    no_speech_id=self.special.no_speech,
+                    ngram_draft=spec_ngram)
             else:
                 if not cross_kv_int8:
                     ck = ck.astype(cache_dtype)
@@ -246,14 +309,14 @@ class WhisperEngine:
         body = self._program_body(
             batch, prompt_len, max_new, timestamps, num_beams, temperature)
 
-        def program(params, audio, prompt, seed):
+        def program(params, audio, prompt, seed, draft=None):
             if use_pallas:
                 from thewhisper_tpu.ops.logmel_pallas import log_mel_pallas
 
                 mel = log_mel_pallas(audio, mel_fb, window)
             else:
                 mel = log_mel_spectrogram(audio, mel_fb, window)
-            return body(params, mel, prompt, seed)
+            return body(params, mel, prompt, seed, draft)
 
         fn = jax.jit(program)
         with self._lock:
@@ -316,7 +379,7 @@ class WhisperEngine:
             temperature=temperature)
         t0 = time.perf_counter()
         result = fn(self.params, jnp.asarray(mel), prompt_arr,
-                    jnp.uint32(options.seed))
+                    jnp.uint32(options.seed), self.draft_params)
         return self._unpack(result, b, p, options, t0)
 
     def transcribe_audio(
@@ -355,7 +418,7 @@ class WhisperEngine:
             temperature=temperature, use_pallas=use_pallas)
         t0 = time.perf_counter()
         result = fn(self.params, jnp.asarray(audio), prompt_arr,
-                    jnp.uint32(options.seed))
+                    jnp.uint32(options.seed), self.draft_params)
         return self._unpack(result, b, p, options, t0)
 
     def _unpack(self, result, b: int, prompt_len: int,
@@ -427,6 +490,8 @@ class WhisperEngine:
         compute_dtype: jnp.dtype = jnp.bfloat16,
         position_mode: Optional[str] = None,
         quantize: Optional[str] = None,
+        draft: Optional[str] = None,
+        spec_window: int = 4,
     ) -> "WhisperEngine":
         """Build an engine from an HF checkpoint directory.
 
@@ -447,6 +512,14 @@ class WhisperEngine:
         tied embedding stays per-row int8. NOTE: jnp.int4 arrays cannot
         cross the axon TPU tunnel (plugin transfer bug) — usable on
         directly-attached TPUs and CPU only (tools/decode_bs1_probe.py).
+
+        ``draft`` enables speculative greedy decoding: ``"ngram"`` drafts
+        by free prompt lookup (no extra weights — never meaningfully
+        slower, faster on repetitive speech), ``"layer-skip:N"`` drafts
+        with the first N target decoder layers, or pass a draft
+        checkpoint directory (distil-whisper style: must share the
+        target's encoder width and vocab). Output is identical to plain
+        greedy for any draft; only speed changes (engine/speculative.py).
         """
         import json
         import os
@@ -468,6 +541,23 @@ class WhisperEngine:
                     params, components=("encoder",), activation_int8=True)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode: {quantize}")
+        draft_params = draft_arch = None
+        spec_ngram = False
+        if draft == "ngram":
+            spec_ngram = True
+        elif draft:
+            if draft.startswith("layer-skip:"):
+                from thewhisper_tpu.engine.speculative import (
+                    make_layer_skip_draft,
+                )
+
+                draft_params, draft_arch = make_layer_skip_draft(
+                    params, arch, int(draft.split(":", 1)[1]))
+            else:
+                draft_params, draft_arch = load_checkpoint(
+                    draft, dtype=compute_dtype,
+                    chunk_length_s=chunk_length_s,
+                    position_mode=position_mode)
         suppress: Sequence[int] = ()
         begin: Sequence[int] = ()
         gen_path = os.path.join(path, "generation_config.json")
@@ -480,4 +570,6 @@ class WhisperEngine:
             params, arch, compute_dtype=compute_dtype,
             suppress_tokens=suppress, begin_suppress_tokens=begin,
             cross_kv_int8=(quantize in ("int8", "int8-weights", "int8-all",
-                                        "int4")))
+                                        "int4")),
+            draft_params=draft_params, draft_arch=draft_arch,
+            spec_window=spec_window, spec_ngram=spec_ngram)

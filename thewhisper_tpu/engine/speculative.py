@@ -1,0 +1,328 @@
+"""Speculative greedy decoding: draft k tokens cheaply, verify in one pass.
+
+The bs=1 decode loop is weight-bandwidth-bound (~171 MB of int8 weights per
+step on turbo; benchmark/README.md) — the MXU is idle while HBM streams
+weights. Speculative decoding converts that slack into tokens: a small
+draft model proposes ``spec_window`` tokens autoregressively, then the
+target model scores the whole window in ONE weight read
+(``models.whisper.decoder_verify``) and accepts the longest prefix that
+matches its own greedy choices, plus one corrected "bonus" token. Output
+is **greedy-equivalent for any draft** — the draft only controls speed,
+never content (bit-exact in f32, tests/test_speculative.py). One honest
+caveat: the verify pass computes the same math as the single-token step
+with different matmul shapes, so in bf16 the logits differ by ULPs and a
+near-tied argmax can resolve differently — the same nondeterminism class
+as changing the batch size. Measured on a real v5e (tools/spec_probe.py):
+a 5-token verify costs 0.84x a single step, and free ngram drafting gives
+1.32x end-to-end at bs=1 on repetitive output.
+
+The reference has no analog (its per-token host round trip,
+``apple/model.py:155-255``, makes multi-token verification moot); this is
+a TPU-native extension. Draft options:
+
+- a separate small checkpoint sharing the encoder (distil-whisper style:
+  same encoder, 2-layer decoder) — own params/arch, own cross-KV;
+- a layer-skip self-draft (``make_layer_skip_draft``): the first N layers
+  of the target decoder + its final LN/embedding, zero extra weights.
+
+Everything runs inside one ``lax.while_loop``: per-sample positions (each
+batch row accepts a different number of drafts per round) are handled by
+``decoder_verify``'s masked one-hot cache writes, so no host sync or
+dynamic shape ever appears.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from thewhisper_tpu.config import WhisperArch
+from thewhisper_tpu.engine.decode import GreedyResult
+from thewhisper_tpu.models.whisper import (
+    DecodeCache,
+    decoder_prefill,
+    decoder_verify,
+)
+
+
+def make_layer_skip_draft(params: Dict[str, Any], arch: WhisperArch,
+                          n_layers: int):
+    """Draft = first ``n_layers`` of the target decoder (early exit).
+
+    Returns (draft_params, draft_arch). Shares every array with the target
+    (the layer-stacked leaves are sliced views) — zero extra HBM. Quality
+    note: the early-exit logits go through the target's final LN/embedding
+    without any adaptation, which works well on distilled/turbo models
+    whose residual stream converges early; measure acceptance on real
+    weights before relying on it.
+    """
+    import dataclasses
+
+    dec = params["decoder"]
+    layers = {k: jax.tree.map(lambda a: a[:n_layers], v)
+              for k, v in dec["layers"].items()}
+    draft_dec = dict(dec)
+    draft_dec["layers"] = layers
+    draft_params = dict(params)
+    draft_params["decoder"] = draft_dec
+    # Alignment heads beyond the kept layers would index out of bounds of
+    # the sliced stack; the draft never produces alignment anyway.
+    heads = tuple((l, h) for l, h in arch.alignment_heads if l < n_layers)
+    draft_arch = dataclasses.replace(
+        arch, decoder_layers=n_layers, alignment_heads=heads)
+    return draft_params, draft_arch
+
+
+class _Carry(NamedTuple):
+    tokens: jnp.ndarray      # (B, S_buf)
+    n_acc: jnp.ndarray       # (B,) generated tokens accepted so far
+    done: jnp.ndarray        # (B,)
+    self_k: jnp.ndarray      # target decoder self-cache
+    self_v: jnp.ndarray
+    d_self_k: jnp.ndarray    # draft decoder self-cache
+    d_self_v: jnp.ndarray
+    align: jnp.ndarray
+    sum_lp: jnp.ndarray
+    token_lp: jnp.ndarray    # (B, max_new + W + 1)
+
+
+def speculative_decode(
+    params,
+    arch: WhisperArch,
+    draft_params,
+    draft_arch: Optional[WhisperArch],
+    prompt: jnp.ndarray,              # (B, P) int32
+    cache: DecodeCache,               # sized >= P + max_new + W + 1 slots
+    draft_cache: Optional[DecodeCache],  # same sizing, draft geometry
+    max_new_tokens: int,
+    eot: int,
+    spec_window: int = 4,
+    suppress: Optional[jnp.ndarray] = None,
+    begin_suppress: Optional[jnp.ndarray] = None,
+    capture_alignment: bool = False,
+    compute_dtype: jnp.dtype = jnp.float32,
+    no_speech_id: Optional[int] = None,
+    ngram_draft: bool = False,
+) -> GreedyResult:
+    """Greedy decode via draft-and-verify; output == ``greedy_decode``.
+
+    Each loop round: the draft proposes W tokens, the target scores the
+    window ``[newest_accepted, d_1..d_W]`` in one ``decoder_verify`` pass,
+    the longest matching prefix (m tokens) is accepted and the target's
+    own argmax at the first mismatch becomes the bonus token — so every
+    round advances 1..W+1 tokens and every emitted token is exactly the
+    target's greedy choice.
+
+    ``ngram_draft=True`` drafts by prompt lookup instead of a model: the
+    continuation of the most recent earlier occurrence of the current
+    bigram in the generated prefix. Zero extra weights, zero extra cache,
+    and a verify pass costs ~1.01x a single step (tools/spec_probe.py) —
+    so it can never meaningfully lose, and wins whenever speech repeats
+    (refrains, hesitations, hallucination loops). ``draft_params`` /
+    ``draft_arch`` / ``draft_cache`` are ignored and may be None.
+    """
+    w = spec_window
+    b, p = prompt.shape
+    s_buf = cache.self_k.shape[4]
+    assert s_buf >= p + max_new_tokens + w + 1, (
+        f"cache has {s_buf} slots; speculative needs "
+        f"{p + max_new_tokens + w + 1}")
+    ck = cache.cross_k
+    t_enc = (ck["q"] if isinstance(ck, dict) else ck).shape[4]
+    n_align = max(1, len(arch.alignment_heads))
+    lp_buf = max_new_tokens + w + 1
+
+    logits_p, cache, align_p = decoder_prefill(
+        params, prompt, cache, arch, compute_dtype)
+    if ngram_draft:
+        z = jnp.zeros((1,), compute_dtype)
+        draft_cache = DecodeCache(z, z, z, z)     # unused placeholder carry
+    else:
+        _, draft_cache, _ = decoder_prefill(
+            draft_params, prompt, draft_cache, draft_arch, compute_dtype)
+
+    if capture_alignment:
+        align_buf = jnp.zeros((b, n_align, s_buf, t_enc), jnp.float32)
+        align_buf = jax.lax.dynamic_update_slice(
+            align_buf, jnp.transpose(align_p, (0, 2, 1, 3)), (0, 0, 0, 0))
+    else:
+        align_buf = jnp.zeros((b, 1, 1, 1), jnp.float32)
+
+    def masked(x, is_first):
+        if suppress is not None:
+            x = x + suppress
+        if begin_suppress is not None and is_first:
+            x = x + begin_suppress
+        return x
+
+    x0 = masked(logits_p[:, -1], True)
+    first_tok = jnp.argmax(x0, axis=-1).astype(jnp.int32)
+    first_lp = jnp.take_along_axis(
+        jax.nn.log_softmax(x0, axis=-1), first_tok[:, None], axis=-1)[:, 0]
+
+    if no_speech_id is not None:
+        no_speech_prob = jax.nn.softmax(
+            logits_p[:, 0], axis=-1)[:, no_speech_id]
+    else:
+        no_speech_prob = jnp.zeros((b,), jnp.float32)
+
+    tokens = jnp.zeros((b, s_buf), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(
+        tokens, prompt.astype(jnp.int32), (0, 0))
+    tokens = tokens.at[:, p].set(first_tok)
+    done0 = (first_tok == eot) | (max_new_tokens <= 1)
+    token_lp0 = jnp.zeros((b, lp_buf), jnp.float32).at[:, 0].set(first_lp)
+    sum_lp0 = jnp.where(first_tok == eot, 0.0, first_lp)
+
+    cross_k, cross_v = cache.cross_k, cache.cross_v          # loop invariant
+    d_cross_k, d_cross_v = draft_cache.cross_k, draft_cache.cross_v
+
+    def ngram_propose(tokens_buf, feed_pos, w0):
+        """Prompt-lookup draft: continuation of the latest earlier
+        occurrence of the (prev, current) bigram. (B, W) proposals."""
+        prev = jnp.take_along_axis(
+            tokens_buf, jnp.maximum(feed_pos - 1, 0)[:, None], axis=1)
+        nxt = jnp.concatenate(
+            [tokens_buf[:, 1:], jnp.zeros((b, 1), jnp.int32)], axis=1)
+        j = jnp.arange(s_buf)[None, :]
+        hit = ((tokens_buf == prev) & (nxt == w0)
+               & (j + 1 < feed_pos[:, None]) & (j > 0))      # (B, S)
+        has = jnp.any(hit, axis=1)
+        j_sel = jnp.argmax(jnp.where(hit, j, -1), axis=1)    # most recent
+        start = jnp.where(has, j_sel + 2, feed_pos)          # fallback: w0..
+        rows = jnp.clip(start[:, None] + jnp.arange(w)[None, :], 0, s_buf - 1)
+        return jnp.take_along_axis(tokens_buf, rows, axis=1)
+
+    jidx = jnp.arange(w + 1)[None, :]                        # (1, W+1)
+
+    def cond(c: _Carry):
+        return ~jnp.all(c.done)
+
+    def body(c: _Carry):
+        feed_pos = p + c.n_acc - 1                           # (B,)
+        w0 = jnp.take_along_axis(c.tokens, feed_pos[:, None], axis=1)
+
+        # --- draft W tokens (model scan or free prompt lookup) ---------
+        if ngram_draft:
+            drafts = ngram_propose(c.tokens, feed_pos, w0)   # (B, W)
+            d_k, d_v = c.d_self_k, c.d_self_v
+        else:
+            def draft_step(dc, j):
+                d_k_, d_v_, cur = dc
+                dl, ndc, _ = decoder_verify(
+                    draft_params, cur, feed_pos + j,
+                    DecodeCache(d_k_, d_v_, d_cross_k, d_cross_v),
+                    draft_arch, compute_dtype)
+                nxt = jnp.argmax(
+                    masked(dl[:, 0], False), axis=-1).astype(jnp.int32)
+                return (ndc.self_k, ndc.self_v, nxt[:, None]), nxt
+
+            (d_k, d_v, _), drafts = jax.lax.scan(
+                draft_step, (c.d_self_k, c.d_self_v, w0), jnp.arange(w))
+            drafts = jnp.transpose(drafts)                   # (B, W)
+
+        # --- verify the whole window in one target pass ----------------
+        window = jnp.concatenate([w0, drafts], axis=1)       # (B, W+1)
+        vlogits, ncache, valign = decoder_verify(
+            params, window, feed_pos,
+            DecodeCache(c.self_k, c.self_v, cross_k, cross_v),
+            arch, compute_dtype)
+        sl = masked(vlogits, False)                          # (B, W+1, V)
+        pred = jnp.argmax(sl, axis=-1).astype(jnp.int32)     # (B, W+1)
+        logp = jax.nn.log_softmax(sl, axis=-1)
+
+        match = pred[:, :w] == drafts                        # (B, W)
+        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        bonus = jnp.take_along_axis(pred, m[:, None], axis=1)  # (B, 1)
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)
+        new_tok = jnp.where(jidx < m[:, None], drafts_pad, bonus)  # (B, W+1)
+        lp_tok = jnp.take_along_axis(logp, new_tok[:, :, None],
+                                     axis=-1)[:, :, 0]       # (B, W+1)
+
+        # Stop at the first EOT inside the accepted run (inclusive write,
+        # exclusive count — mirrors greedy's sum/len semantics).
+        is_eot = (new_tok == eot) & (jidx <= m[:, None])
+        has_eot = jnp.any(is_eot, axis=1)
+        first_e = jnp.argmax(is_eot, axis=1)
+        n_new = jnp.where(has_eot, first_e + 1, m + 1)       # tokens to write
+        live = ~c.done
+        wsel = (jidx < n_new[:, None]) & live[:, None]       # (B, W+1)
+
+        # Scatter new tokens into the buffer at feed_pos+1+j via a gather:
+        # for each slot s, idx = s - (feed_pos+1); in-range -> new token.
+        s_iota = jnp.arange(s_buf)[None, :]
+        rel = s_iota - (feed_pos[:, None] + 1)               # (B, S)
+        in_rng = (rel >= 0) & (rel < n_new[:, None]) & live[:, None]
+        gathered = jnp.take_along_axis(
+            new_tok, jnp.clip(rel, 0, w), axis=1)
+        new_tokens = jnp.where(in_rng, gathered, c.tokens)
+
+        # Token logprobs land at generated indices n_acc+j (EOT included,
+        # like greedy's token_lp).
+        g_iota = jnp.arange(lp_buf)[None, :]
+        grel = g_iota - c.n_acc[:, None]
+        g_rng = (grel >= 0) & (grel < n_new[:, None]) & live[:, None]
+        g_lp = jnp.take_along_axis(lp_tok, jnp.clip(grel, 0, w), axis=1)
+        new_token_lp = jnp.where(g_rng, g_lp, c.token_lp)
+
+        # Sum of accepted non-EOT logprobs (greedy excludes EOT's lp and
+        # never counts past max_new — the final round may overshoot).
+        in_budget = c.n_acc[:, None] + jidx < max_new_tokens
+        inc = jnp.sum(
+            jnp.where(wsel & in_budget & (new_tok != eot), lp_tok, 0.0),
+            axis=1)
+        new_sum = c.sum_lp + inc
+
+        if capture_alignment:
+            # Rows j <= m are the fed chain tokens at slots feed_pos+j.
+            row_ok = (jidx <= m[:, None]) & live[:, None]    # (B, W+1)
+            slot_rows = feed_pos[:, None] + jnp.arange(w + 1)[None, :]
+            onehot = ((slot_rows[:, :, None] == jnp.arange(s_buf)[None, None, :])
+                      & row_ok[:, :, None]).astype(jnp.float32)
+            upd = jnp.einsum("bjat,bjs->bast", valign, onehot)
+            written = jnp.any(onehot > 0, axis=1)[:, None, :, None]
+            new_align = jnp.where(written, upd, c.align)
+        else:
+            new_align = c.align
+
+        adv = jnp.where(live, n_new, 0)
+        n_acc2 = c.n_acc + adv
+        new_done = c.done | (has_eot & live) | (n_acc2 >= max_new_tokens)
+        sel = live[:, None]
+        sel5 = live[None, :, None, None, None]
+        return _Carry(
+            new_tokens, n_acc2, new_done,
+            jnp.where(sel5, ncache.self_k, c.self_k),
+            jnp.where(sel5, ncache.self_v, c.self_v),
+            c.d_self_k if ngram_draft else jnp.where(sel5, d_k, c.d_self_k),
+            c.d_self_v if ngram_draft else jnp.where(sel5, d_v, c.d_self_v),
+            new_align,
+            jnp.where(live, new_sum, c.sum_lp),
+            jnp.where(sel, new_token_lp, c.token_lp))
+
+    init = _Carry(tokens, jnp.ones((b,), jnp.int32), done0,
+                  cache.self_k, cache.self_v,
+                  draft_cache.self_k, draft_cache.self_v,
+                  align_buf, sum_lp0, token_lp0)
+    out = jax.lax.while_loop(cond, body, init)
+
+    s_out = p + max_new_tokens
+    toks = out.tokens[:, :s_out]
+    gen = toks[:, p:]
+    is_eot = gen == eot
+    any_eot = jnp.any(is_eot, axis=1)
+    first_eot = jnp.argmax(is_eot, axis=1)
+    num_generated = jnp.where(
+        any_eot, first_eot, max_new_tokens).astype(jnp.int32)
+    # Greedy parity for the visible buffer: past the first EOT everything
+    # is EOT (greedy keeps feeding EOT for finished rows).
+    past = jnp.arange(max_new_tokens)[None, :] > jnp.where(
+        any_eot, first_eot, max_new_tokens)[:, None]
+    gen = jnp.where(past, eot, gen)
+    toks = jnp.concatenate([toks[:, :p], gen], axis=1)
+    align = (out.align[:, :, :s_out] if capture_alignment else out.align)
+    return GreedyResult(toks, num_generated, out.sum_lp, align,
+                        out.token_lp[:, :max_new_tokens], no_speech_prob)

@@ -696,6 +696,127 @@ def decoder_step(
     return _logits(params["decoder"], x)[:, 0], new_cache, align[:, 0]
 
 
+def _embed_tokens_at(dec: Dict[str, Any], tokens: jnp.ndarray,
+                     positions: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Embed a (B, W) token window at per-sample start ``positions`` (B,)."""
+    emb_w = dec["token_emb"]
+    if isinstance(emb_w, dict):  # per-row int8 table (models.quant)
+        emb = (emb_w["q"][tokens].astype(dtype)
+               * emb_w["s"][tokens].astype(dtype)[..., None])
+    else:
+        emb = emb_w.astype(dtype)[tokens]               # (B, W, d)
+    w = tokens.shape[1]
+    rows = positions[:, None] + jnp.arange(w)[None, :]  # (B, W)
+    rows = jnp.clip(rows, 0, dec["pos_emb"].shape[0] - 1)
+    return emb + dec["pos_emb"][rows].astype(dtype)
+
+
+def _stack_verify(params, x, arch, cache, positions, align_sel):
+    """Window pass at per-sample offsets — the speculative-decoding verify.
+
+    ``x`` (B, W, d) is a window of W tokens whose first token sits at cache
+    slot ``positions[b]`` for sample b. Each query attends cache slots
+    strictly below its sample's window start (slots >= start are stale)
+    plus the in-window keys causally — the W-key generalization of
+    ``_stack_step``'s extra-logit trick, so no garbage slot is ever read
+    and nothing needs to be written before attention. The window K/V land
+    in the cache afterwards through a per-sample one-hot contraction (the
+    same fused-select philosophy as the where-iota single-slot write;
+    ``dynamic_update_slice`` cannot express per-sample starts at all).
+    """
+    dec = params["decoder"]
+    n_heads = arch.decoder_heads
+    s_max = cache.self_k.shape[4]
+    b, w, _ = x.shape
+    # (B, 1, 1, S): every window query may see slots < its window start.
+    cache_mask = (jnp.arange(s_max)[None, :]
+                  < positions[:, None])[:, None, None, :]
+    win_causal = (jnp.arange(w)[None, :]
+                  <= jnp.arange(w)[:, None])[None, None, :, :]
+
+    def layer(carry, xs):
+        h = carry
+        lp, cross_k, cross_v, self_k, self_v = xs
+        q_in = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"])
+        q = jnp.transpose(_split_heads(
+            _linear(q_in, lp["self"]["q_w"], lp["self"]["q_b"]), n_heads),
+            (0, 2, 1, 3))                                  # (B, H, W, dh)
+        k_win = jnp.transpose(_split_heads(
+            _linear(q_in, lp["self"]["k_w"], None), n_heads), (0, 2, 1, 3))
+        v_win = jnp.transpose(_split_heads(
+            _linear(q_in, lp["self"]["v_w"], lp["self"]["v_b"]), n_heads),
+            (0, 2, 1, 3))
+        dh = q.shape[-1]
+        qs = (q * dh ** -0.5)
+        logit_c = jnp.einsum(
+            "bhqd,bhds->bhqs", qs, self_k.astype(q.dtype),
+            preferred_element_type=jnp.float32, precision=_prec(q.dtype))
+        logit_c = jnp.where(cache_mask, logit_c, jnp.float32(-1e9))
+        logit_w = jnp.einsum(
+            "bhqd,bhkd->bhqk", qs, k_win,
+            preferred_element_type=jnp.float32, precision=_prec(q.dtype))
+        logit_w = jnp.where(win_causal, logit_w, jnp.float32(-1e9))
+        probs = jax.nn.softmax(
+            jnp.concatenate([logit_c, logit_w], axis=-1), axis=-1)
+        pc, pw = probs[..., :s_max], probs[..., s_max:]
+        a = (jnp.einsum("bhqs,bhds->bhqd", pc.astype(q.dtype),
+                        self_v.astype(q.dtype), precision=_prec(q.dtype))
+             + jnp.einsum("bhqk,bhkd->bhqd", pw.astype(q.dtype), v_win,
+                          precision=_prec(q.dtype)))
+        h = h + _linear(_merge_heads(a), lp["self"]["o_w"], lp["self"]["o_b"])
+        h, align = _cross_and_mlp(h, lp, n_heads, cross_k, cross_v,
+                                  xs[0]["_align_sel"])
+        # Feature-major (B, H, dh, W) for the post-scan one-hot write.
+        return h, (jnp.transpose(k_win, (0, 1, 3, 2)),
+                   jnp.transpose(v_win, (0, 1, 3, 2)), align)
+
+    layers = dict(dec["layers"])
+    layers["_align_sel"] = jnp.asarray(align_sel)
+    xs = (layers, cache.cross_k, cache.cross_v, cache.self_k, cache.self_v)
+    x, (k_new, v_new, aligns) = jax.lax.scan(layer, x, xs)
+    # Scatter window slots per sample: onehot[b, w, s] = (s == pos_b + w).
+    slot_rows = positions[:, None] + jnp.arange(w)[None, :]      # (B, W)
+    onehot = (slot_rows[:, :, None]
+              == jnp.arange(s_max)[None, None, :])               # (B, W, S)
+    written = jnp.any(onehot, axis=1)[None, :, None, None, :]    # (1,B,1,1,S)
+    oh = onehot.astype(cache.self_k.dtype)
+    upd_k = jnp.einsum("lbhdw,bws->lbhds", k_new.astype(cache.self_k.dtype), oh)
+    upd_v = jnp.einsum("lbhdw,bws->lbhds", v_new.astype(cache.self_v.dtype), oh)
+    new_cache = DecodeCache(
+        jnp.where(written, upd_k, cache.self_k),
+        jnp.where(written, upd_v, cache.self_v),
+        cache.cross_k, cache.cross_v)
+    x = _layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
+    return x, new_cache, jnp.sum(aligns, axis=0)
+
+
+def decoder_verify(
+    params: WhisperParams,
+    tokens: jnp.ndarray,          # (B, W) window
+    positions: jnp.ndarray,       # (B,) int32: cache slot of tokens[:, 0]
+    cache: DecodeCache,
+    arch: WhisperArch,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, DecodeCache, jnp.ndarray]:
+    """Multi-token decode pass at per-sample positions (speculative verify).
+
+    Computes logits for every window position in ONE weight read — the
+    speculative-decoding primitive: the decoder is weight-bandwidth-bound
+    at small batch, so verifying W draft tokens costs barely more than one
+    token. Also serves as the draft's stepper with W=1 (per-sample
+    positions, which ``decoder_step``'s scalar-position fast path cannot
+    express once samples accept different draft counts).
+
+    Returns (logits (B, W, V) f32, cache, align (B, W, A, T_enc)).
+    """
+    x = _embed_tokens_at(params["decoder"], tokens,
+                         positions.astype(jnp.int32), compute_dtype)
+    x, new_cache, align = _stack_verify(
+        params, x, arch, cache, positions.astype(jnp.int32),
+        _alignment_selector(arch))
+    return _logits(params["decoder"], x), new_cache, align
+
+
 def decoder_train_forward(
     params: WhisperParams,
     tokens: jnp.ndarray,          # (B, S)
