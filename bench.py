@@ -94,12 +94,12 @@ def main():
     engine.transcribe_features(mel, short_opts)   # compile
     engine.transcribe_features(mel, long_opts)    # compile
 
-    def timed(opts, iters=8, m=mel):
+    def timed(opts, iters=8, m=mel, eng=engine):
         times = []
         res = None
         for _ in range(iters):
             t0 = time.perf_counter()
-            res = engine.transcribe_features(m, opts)
+            res = eng.transcribe_features(m, opts)
             times.append(time.perf_counter() - t0)
         return statistics.median(times), res
 
@@ -132,18 +132,8 @@ def main():
     log("compiling ngram-speculative programs...")
     eng_ng.transcribe_features(mel, short_opts)
     eng_ng.transcribe_features(mel, long_opts)
-
-    def timed_ng(opts, iters=8):
-        ts = []
-        res = None
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            res = eng_ng.transcribe_features(mel, opts)
-            ts.append(time.perf_counter() - t0)
-        return statistics.median(ts), res
-
-    tns, rns = timed_ng(short_opts)
-    tnl, rnl = timed_ng(long_opts)
+    tns, rns = timed(short_opts, eng=eng_ng)
+    tnl, rnl = timed(long_opts, eng=eng_ng)
     spec_tok_s = ((int(rnl.num_generated[0]) - int(rns.num_generated[0]))
                   / max(tnl - tns, 1e-9))
     log(f"bs=1 ngram-speculative: {spec_tok_s:.1f} tok/s "

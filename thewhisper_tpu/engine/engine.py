@@ -103,6 +103,11 @@ class WhisperEngine:
         self.cache_dtype = cache_dtype or compute_dtype
         self.batch_buckets = tuple(batch_buckets)
         self.cross_kv_int8 = cross_kv_int8
+        if draft_params is not None:
+            # Speculation only ever touches the draft's decoder (the
+            # target's encoder states are shared) — don't ship a distil
+            # checkpoint's encoder weights to HBM.
+            draft_params = {"decoder": draft_params["decoder"]}
         self.draft_params = (jax.device_put(draft_params)
                              if draft_params is not None else None)
         self.draft_arch = draft_arch

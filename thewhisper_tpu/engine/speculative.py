@@ -14,7 +14,7 @@ with different matmul shapes, so in bf16 the logits differ by ULPs and a
 near-tied argmax can resolve differently — the same nondeterminism class
 as changing the batch size. Measured on a real v5e (tools/spec_probe.py):
 a 5-token verify costs 0.84x a single step, and free ngram drafting gives
-1.32x end-to-end at bs=1 on repetitive output.
+1.40x end-to-end at bs=1 on repetitive output.
 
 The reference has no analog (its per-token host round trip,
 ``apple/model.py:155-255``, makes multi-token verification moot); this is
@@ -51,12 +51,14 @@ def make_layer_skip_draft(params: Dict[str, Any], arch: WhisperArch,
                           n_layers: int):
     """Draft = first ``n_layers`` of the target decoder (early exit).
 
-    Returns (draft_params, draft_arch). Shares every array with the target
-    (the layer-stacked leaves are sliced views) — zero extra HBM. Quality
-    note: the early-exit logits go through the target's final LN/embedding
-    without any adaptation, which works well on distilled/turbo models
-    whose residual stream converges early; measure acceptance on real
-    weights before relying on it.
+    Returns (draft_params, draft_arch). The embedding/LN leaves are shared
+    with the target; the sliced layer stacks materialize as new arrays
+    (JAX has no views), so the first N layers' weights are duplicated in
+    HBM — small for shallow drafts. Quality note: the early-exit logits
+    go through the target's final LN/embedding without any adaptation,
+    which works well on distilled/turbo models whose residual stream
+    converges early; measure acceptance on real weights before relying on
+    it.
     """
     import dataclasses
 
@@ -219,9 +221,16 @@ def speculative_decode(
                     masked(dl[:, 0], False), axis=-1).astype(jnp.int32)
                 return (ndc.self_k, ndc.self_v, nxt[:, None]), nxt
 
-            (d_k, d_v, _), drafts = jax.lax.scan(
-                draft_step, (c.d_self_k, c.d_self_v, w0), jnp.arange(w))
-            drafts = jnp.transpose(drafts)                   # (B, W)
+            # W+1 steps, not W: the last step exists only to write d_W's
+            # K/V into the draft cache. Without it, a fully-accepted
+            # round (m == W) leaves a permanent zero-KV hole below every
+            # future window start — the draft then attends garbage and
+            # acceptance collapses for the rest of the utterance (found
+            # via the all-accept probe reading 1489 tok/s where the cost
+            # model predicts ~3400).
+            (d_k, d_v, _), drafts_all = jax.lax.scan(
+                draft_step, (c.d_self_k, c.d_self_v, w0), jnp.arange(w + 1))
+            drafts = jnp.transpose(drafts_all)[:, :w]        # (B, W)
 
         # --- verify the whole window in one target pass ----------------
         window = jnp.concatenate([w0, drafts], axis=1)       # (B, W+1)
@@ -282,7 +291,10 @@ def speculative_decode(
             slot_rows = feed_pos[:, None] + jnp.arange(w + 1)[None, :]
             onehot = ((slot_rows[:, :, None] == jnp.arange(s_buf)[None, None, :])
                       & row_ok[:, :, None]).astype(jnp.float32)
-            upd = jnp.einsum("bjat,bjs->bast", valign, onehot)
+            # HIGHEST: exact one-hot select (TPU's default f32 einsum
+            # rounds operands to bf16 — CLAUDE.md precision invariant).
+            upd = jnp.einsum("bjat,bjs->bast", valign, onehot,
+                             precision=jax.lax.Precision.HIGHEST)
             written = jnp.any(onehot > 0, axis=1)[:, None, :, None]
             new_align = jnp.where(written, upd, c.align)
         else:

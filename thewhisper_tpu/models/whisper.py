@@ -627,13 +627,16 @@ def _stack_step(params, x, arch, cache, position, align_sel):
     return x, new_cache, jnp.sum(aligns, axis=0)
 
 
-def _embed_tokens(dec: Dict[str, Any], tokens: jnp.ndarray, offset, dtype) -> jnp.ndarray:
-    emb_w = dec["token_emb"]
+def _token_table_lookup(emb_w, tokens: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(B, S) ids -> (B, S, d); handles the per-row int8 table."""
     if isinstance(emb_w, dict):  # per-row int8 table (models.quant)
-        emb = (emb_w["q"][tokens].astype(dtype)
-               * emb_w["s"][tokens].astype(dtype)[..., None])
-    else:
-        emb = emb_w.astype(dtype)[tokens]               # (B, S, d)
+        return (emb_w["q"][tokens].astype(dtype)
+                * emb_w["s"][tokens].astype(dtype)[..., None])
+    return emb_w.astype(dtype)[tokens]
+
+
+def _embed_tokens(dec: Dict[str, Any], tokens: jnp.ndarray, offset, dtype) -> jnp.ndarray:
+    emb = _token_table_lookup(dec["token_emb"], tokens, dtype)
     s = tokens.shape[1]
     pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], offset, s, axis=0)
     return emb + pos.astype(dtype)
@@ -699,12 +702,7 @@ def decoder_step(
 def _embed_tokens_at(dec: Dict[str, Any], tokens: jnp.ndarray,
                      positions: jnp.ndarray, dtype) -> jnp.ndarray:
     """Embed a (B, W) token window at per-sample start ``positions`` (B,)."""
-    emb_w = dec["token_emb"]
-    if isinstance(emb_w, dict):  # per-row int8 table (models.quant)
-        emb = (emb_w["q"][tokens].astype(dtype)
-               * emb_w["s"][tokens].astype(dtype)[..., None])
-    else:
-        emb = emb_w.astype(dtype)[tokens]               # (B, W, d)
+    emb = _token_table_lookup(dec["token_emb"], tokens, dtype)
     w = tokens.shape[1]
     rows = positions[:, None] + jnp.arange(w)[None, :]  # (B, W)
     rows = jnp.clip(rows, 0, dec["pos_emb"].shape[0] - 1)
@@ -779,9 +777,15 @@ def _stack_verify(params, x, arch, cache, positions, align_sel):
     onehot = (slot_rows[:, :, None]
               == jnp.arange(s_max)[None, None, :])               # (B, W, S)
     written = jnp.any(onehot, axis=1)[None, :, None, None, :]    # (1,B,1,1,S)
+    # HIGHEST precision makes the one-hot contraction an EXACT select in
+    # any dtype (the default TPU f32 path would round operands to bf16,
+    # silently breaking the verify-vs-step cache equivalence in f32 —
+    # CLAUDE.md precision invariant).
     oh = onehot.astype(cache.self_k.dtype)
-    upd_k = jnp.einsum("lbhdw,bws->lbhds", k_new.astype(cache.self_k.dtype), oh)
-    upd_v = jnp.einsum("lbhdw,bws->lbhds", v_new.astype(cache.self_v.dtype), oh)
+    upd_k = jnp.einsum("lbhdw,bws->lbhds", k_new.astype(cache.self_k.dtype),
+                       oh, precision=jax.lax.Precision.HIGHEST)
+    upd_v = jnp.einsum("lbhdw,bws->lbhds", v_new.astype(cache.self_v.dtype),
+                       oh, precision=jax.lax.Precision.HIGHEST)
     new_cache = DecodeCache(
         jnp.where(written, upd_k, cache.self_k),
         jnp.where(written, upd_v, cache.self_v),

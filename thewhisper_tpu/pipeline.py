@@ -55,6 +55,7 @@ class ASRPipeline:
         use_pallas: Optional[bool] = None,
         latency_buckets: Optional[Sequence[float]] = None,
         device: Optional[str] = None,       # accepted for API parity; TPU-only
+        draft: Optional[str] = None,        # speculative decoding (engine doc)
     ):
         import jax.numpy as jnp
 
@@ -66,7 +67,8 @@ class ASRPipeline:
             self.engine = WhisperEngine.from_checkpoint(
                 model, chunk_length_s=chunk_length_s, compute_dtype=dtype,
                 position_mode=position_mode,
-                quantize="int8" if model_size == "S" else None)
+                quantize="int8" if model_size == "S" else None,
+                draft=draft)
             if tokenizer is None:
                 tokenizer = _try_load_hf_tokenizer(model)
         self.tokenizer = tokenizer

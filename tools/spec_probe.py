@@ -207,9 +207,11 @@ def main():
     aa_tok_s, _ = e2e(WhisperEngine(
         params, arch, draft_params=params, draft_arch=arch,
         spec_window=W, **ek))
+    # Cost model for draft == target: W+1 full-model draft steps (the
+    # +1 keeps the draft cache hole-free) + one verify per W+1 tokens.
     log(f"e2e all-accept (draft==target, loop-overhead check): "
         f"{aa_tok_s:.0f} tok/s "
-        f"(cost model expects ~{(W+1)/(W+r):.2f}x a greedy step rate)")
+        f"(cost model expects ~{(W+1)/(W+1+r):.2f}x a greedy step rate)")
 
     print(json.dumps({
         "step_ms": round(t_step * 1e3, 3),
