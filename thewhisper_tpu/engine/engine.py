@@ -558,6 +558,12 @@ class WhisperEngine:
 
                 draft_params, draft_arch = make_layer_skip_draft(
                     params, arch, int(draft.split(":", 1)[1]))
+            elif draft.endswith(".npz") or os.path.exists(draft + ".npz"):
+                # Decoder-only draft saved by speculative.save_draft
+                # (e.g. a distilled layer-skip student, training/distill).
+                from thewhisper_tpu.engine.speculative import load_draft
+
+                draft_params, draft_arch = load_draft(draft)
             else:
                 draft_params, draft_arch = load_checkpoint(
                     draft, dtype=compute_dtype,

@@ -77,6 +77,57 @@ def make_layer_skip_draft(params: Dict[str, Any], arch: WhisperArch,
     return draft_params, draft_arch
 
 
+def save_draft(path: str, draft_params: Dict[str, Any],
+               draft_arch: WhisperArch) -> None:
+    """Persist a (possibly distilled) decoder-only draft as one ``.npz``
+    plus the arch fields — the lightweight companion format to the HF
+    checkpoint layout (a draft has no encoder to ship)."""
+    import dataclasses
+    import json
+
+    import numpy as np
+
+    flat = {}
+
+    def walk(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    walk("", {"decoder": draft_params["decoder"]})
+    np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+    meta = dataclasses.asdict(draft_arch)
+    with open((path[:-4] if path.endswith(".npz") else path) + ".json",
+              "w") as f:
+        json.dump(meta, f)
+
+
+def load_draft(path: str):
+    """Inverse of :func:`save_draft` -> (draft_params, draft_arch)."""
+    import json
+
+    import numpy as np
+
+    from thewhisper_tpu.config import WhisperArch
+
+    npz = path if path.endswith(".npz") else path + ".npz"
+    with np.load(npz) as z:
+        tree: Dict[str, Any] = {}
+        for key in z.files:
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key])
+    with open((path[:-4] if path.endswith(".npz") else path) + ".json") as f:
+        meta = json.load(f)
+    meta["alignment_heads"] = tuple(
+        tuple(h) for h in meta.get("alignment_heads", ()))
+    return tree, WhisperArch(**meta)
+
+
 class _Carry(NamedTuple):
     tokens: jnp.ndarray      # (B, S_buf)
     n_acc: jnp.ndarray       # (B,) generated tokens accepted so far
