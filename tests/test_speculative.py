@@ -237,6 +237,63 @@ def test_engine_ngram_speculative_matches_plain(tiny):
         np.testing.assert_array_equal(b.tokens[i, :upto], a.tokens[i, :upto])
 
 
+def test_speculative_exact_with_proposal_tokens(tiny):
+    """External proposal drafts (the streaming cross-tick case): exact
+    greedy whether the guess is perfect, garbage, or half-right."""
+    arch, params = tiny
+    s_cap = 4 + MAX_NEW + W + 1
+    enc, cache, prompt = _setup(arch, params, 2, s_cap, rng_seed=6)
+    sup = jnp.asarray(suppress_mask(arch.vocab_size, (0, 3)))
+    ref = greedy_decode(
+        params, arch, prompt, cache, MAX_NEW, SP.eot, suppress=sup,
+        capture_alignment=False, no_speech_id=SP.no_speech)
+    perfect = jnp.asarray(np.asarray(ref.tokens)[:, 4:], jnp.int32)
+    garbage = jnp.asarray(
+        np.random.default_rng(0).integers(
+            5, 100, (2, MAX_NEW)).astype(np.int32))
+    half = np.asarray(perfect).copy()
+    half[:, MAX_NEW // 2:] = 7
+    for props in (perfect, garbage, jnp.asarray(half)):
+        got = speculative_decode(
+            params, arch, None, None, prompt, cache, None,
+            MAX_NEW, SP.eot, spec_window=W, suppress=sup,
+            capture_alignment=False, no_speech_id=SP.no_speech,
+            proposal_tokens=props)
+        _assert_exact(ref, got, capture=False)
+
+
+def test_engine_draft_tokens_and_pipeline_reuse(tiny, tmp_path_factory):
+    from make_tiny_checkpoint import make_checkpoint
+
+    from thewhisper_tpu.pipeline import ASRPipeline
+
+    arch, params = tiny
+    eng = WhisperEngine(params, arch, special=SP, batch_buckets=(2,))
+    mel = np.random.default_rng(14).standard_normal(
+        (2, arch.n_mels, 100)).astype(np.float32)
+    opts = GenerationOptions(max_new_tokens=10, language="en")
+    a = eng.transcribe_features(mel, opts)
+    # Feeding the previous output as the draft must reproduce it exactly.
+    b = eng.transcribe_features(
+        mel, opts, draft_tokens=a.tokens[:, a.prompt_len:])
+    np.testing.assert_array_equal(a.num_generated, b.num_generated)
+    for i, n in enumerate(a.num_generated):
+        upto = a.prompt_len + int(n)
+        np.testing.assert_array_equal(b.tokens[i, :upto], a.tokens[i, :upto])
+
+    # Pipeline-level cross-call reuse: two calls on the same audio give
+    # the same text; the second one speculates off the first's tokens.
+    path = make_checkpoint(
+        str(tmp_path_factory.mktemp("ckpt") / "tiny-reuse"), seed=5)
+    pipe = ASRPipeline(path, chunk_length_s=10, reuse_previous_tokens=True)
+    audio = (0.1 * np.random.default_rng(15)
+             .standard_normal(2 * 16000)).astype(np.float32)
+    r1 = pipe(audio)
+    assert pipe._prev_gen_tokens is not None
+    r2 = pipe(audio)
+    assert r1["text"] == r2["text"]
+
+
 def test_engine_speculative_matches_plain(tiny):
     arch, params = tiny
     draft_params, draft_arch = make_layer_skip_draft(params, arch, 2)

@@ -176,9 +176,15 @@ class WhisperEngine:
     # -- compiled program ----------------------------------------------------
 
     def _program_body(self, batch: int, prompt_len: int, max_new: int,
-                      timestamps: bool, num_beams: int, temperature: float):
+                      timestamps: bool, num_beams: int, temperature: float,
+                      proposals: bool = False):
         """The mel -> decode-result device program (shared by the
-        mel-input and fused audio-input entry points)."""
+        mel-input and fused audio-input entry points).
+
+        ``proposals=True`` compiles the proposal-token speculative path:
+        the ``draft`` argument then carries a (B, max_new) int32 guess of
+        the generated tokens (e.g. the previous streaming tick's output)
+        instead of draft-model params."""
         arch = self.arch
         compute_dtype = self.compute_dtype
         cache_dtype = self.cache_dtype
@@ -189,8 +195,9 @@ class WhisperEngine:
         cross_kv_int8 = self.cross_kv_int8
         draft_arch = self.draft_arch
         spec_ngram = self.spec_ngram
-        spec = ((draft_arch is not None or spec_ngram) and num_beams == 1
-                and temperature == 0.0)
+        greedy_call = num_beams == 1 and temperature == 0.0
+        spec = greedy_call and (
+            draft_arch is not None or spec_ngram or proposals)
         spec_window = self.spec_window
 
         def program(params, mel, prompt, seed, draft=None):
@@ -228,23 +235,25 @@ class WhisperEngine:
                 s_cap = prompt_len + max_new + spec_window + 1
                 cache = make_cache(arch, batch, s_cap, ck, cv,
                                    dtype=cache_dtype)
-                if spec_ngram:
-                    d_cache = None
+                if proposals or spec_ngram:
+                    d_cache = d_params = d_arch = None
                 else:
                     # Draft cross-KV: same encoder states, the draft
                     # decoder's own projections (distil-whisper sharing).
+                    d_params, d_arch = draft, draft_arch
                     dck, dcv = compute_cross_kv(draft, enc, draft_arch)
                     d_cache = make_cache(
                         draft_arch, batch, s_cap, dck.astype(cache_dtype),
                         dcv.astype(cache_dtype), dtype=cache_dtype)
                 res = speculative_decode(
-                    params, arch, draft, draft_arch, prompt, cache, d_cache,
+                    params, arch, d_params, d_arch, prompt, cache, d_cache,
                     max_new, eot, spec_window=spec_window,
                     suppress=suppress, begin_suppress=begin_suppress,
                     capture_alignment=timestamps,
                     compute_dtype=compute_dtype,
                     no_speech_id=self.special.no_speech,
-                    ngram_draft=spec_ngram)
+                    ngram_draft=spec_ngram and not proposals,
+                    proposal_tokens=draft if proposals else None)
             else:
                 if not cross_kv_int8:
                     ck = ck.astype(cache_dtype)
@@ -270,15 +279,16 @@ class WhisperEngine:
 
     def _generate_fn(self, batch: int, t_mel: int, prompt_len: int,
                      max_new: int, timestamps: bool, num_beams: int = 1,
-                     temperature: float = 0.0):
+                     temperature: float = 0.0, proposals: bool = False):
         key = (batch, t_mel, prompt_len, max_new, timestamps, num_beams,
-               temperature)
+               temperature, proposals)
         with self._lock:
             fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         fn = jax.jit(self._program_body(
-            batch, prompt_len, max_new, timestamps, num_beams, temperature))
+            batch, prompt_len, max_new, timestamps, num_beams, temperature,
+            proposals))
         with self._lock:
             self._jit_cache[key] = fn
         return fn
@@ -287,7 +297,8 @@ class WhisperEngine:
                                 prompt_len: int, max_new: int,
                                 timestamps: bool, num_beams: int = 1,
                                 temperature: float = 0.0,
-                                use_pallas: Optional[bool] = None):
+                                use_pallas: Optional[bool] = None,
+                                proposals: bool = False):
         """Fused program: raw audio -> log-mel -> encode -> decode.
 
         One device call per transcription instead of two (featurize +
@@ -297,7 +308,7 @@ class WhisperEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         key = ("audio", batch, n_samples, prompt_len, max_new, timestamps,
-               num_beams, temperature, use_pallas)
+               num_beams, temperature, use_pallas, proposals)
         with self._lock:
             fn = self._jit_cache.get(key)
         if fn is not None:
@@ -312,7 +323,8 @@ class WhisperEngine:
         mel_fb = jnp.asarray(mel_filter_bank(num_mel_filters=self.arch.n_mels))
         window = jnp.asarray(hann_window())
         body = self._program_body(
-            batch, prompt_len, max_new, timestamps, num_beams, temperature)
+            batch, prompt_len, max_new, timestamps, num_beams, temperature,
+            proposals)
 
         def program(params, audio, prompt, seed, draft=None):
             if use_pallas:
@@ -356,11 +368,25 @@ class WhisperEngine:
 
     # -- public API ----------------------------------------------------------
 
+    def _prep_proposals(self, draft_tokens, bb: int, max_new: int):
+        """Normalize caller-supplied proposal tokens to (bb, max_new)."""
+        if draft_tokens is None:
+            return None
+        dt = np.asarray(draft_tokens, np.int32)
+        if dt.ndim == 1:
+            dt = dt[None]
+        arr = np.zeros((bb, max_new), np.int32)
+        b = min(dt.shape[0], bb)
+        l = min(dt.shape[1], max_new)
+        arr[:b, :l] = dt[:b, :l]
+        return jnp.asarray(arr)
+
     def transcribe_features(
         self,
         mel: np.ndarray,                    # (B, n_mels, T_mel)
         options: GenerationOptions,
         languages: Optional[Sequence[str]] = None,   # per-sample override
+        draft_tokens: Optional[np.ndarray] = None,   # speculative proposals
     ) -> EngineResult:
         if not isinstance(mel, jax.Array):
             mel = np.asarray(mel, dtype=np.float32)
@@ -378,13 +404,16 @@ class WhisperEngine:
 
         temperature = (float(options.temperature)
                        if options.num_beams == 1 else 0.0)
+        props = self._prep_proposals(draft_tokens, bb,
+                                     options.max_new_tokens)
         fn = self._generate_fn(
             bb, mel.shape[-1], p, options.max_new_tokens,
             options.return_timestamps, num_beams=options.num_beams,
-            temperature=temperature)
+            temperature=temperature, proposals=props is not None)
         t0 = time.perf_counter()
         result = fn(self.params, jnp.asarray(mel), prompt_arr,
-                    jnp.uint32(options.seed), self.draft_params)
+                    jnp.uint32(options.seed),
+                    props if props is not None else self.draft_params)
         return self._unpack(result, b, p, options, t0)
 
     def transcribe_audio(
@@ -393,13 +422,16 @@ class WhisperEngine:
         options: GenerationOptions,
         use_pallas: Optional[bool] = None,
         languages: Optional[Sequence[str]] = None,   # per-sample override
+        draft_tokens: Optional[np.ndarray] = None,   # speculative proposals
     ) -> EngineResult:
         """Fused raw-audio transcription (featurize on device, one call).
 
         ``audio`` must already be padded to the chunk bucket
         (``n_samples % 160 == 0``). Numerically identical to
         ``transcribe_features(featurizer(audio), options)``.
-        """
+        ``draft_tokens``: expected generated tokens (e.g. the previous
+        streaming tick's output) — decoded speculatively against them,
+        output still exactly greedy."""
         if not isinstance(audio, jax.Array):
             audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
@@ -417,13 +449,17 @@ class WhisperEngine:
         p = prompt_arr.shape[1]
         temperature = (float(options.temperature)
                        if options.num_beams == 1 else 0.0)
+        props = self._prep_proposals(draft_tokens, bb,
+                                     options.max_new_tokens)
         fn = self._generate_from_audio_fn(
             bb, audio.shape[-1], p, options.max_new_tokens,
             options.return_timestamps, num_beams=options.num_beams,
-            temperature=temperature, use_pallas=use_pallas)
+            temperature=temperature, use_pallas=use_pallas,
+            proposals=props is not None)
         t0 = time.perf_counter()
         result = fn(self.params, jnp.asarray(audio), prompt_arr,
-                    jnp.uint32(options.seed), self.draft_params)
+                    jnp.uint32(options.seed),
+                    props if props is not None else self.draft_params)
         return self._unpack(result, b, p, options, t0)
 
     def _unpack(self, result, b: int, prompt_len: int,

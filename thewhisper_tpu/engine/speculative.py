@@ -158,6 +158,7 @@ def speculative_decode(
     compute_dtype: jnp.dtype = jnp.float32,
     no_speech_id: Optional[int] = None,
     ngram_draft: bool = False,
+    proposal_tokens: Optional[jnp.ndarray] = None,   # (B, >=max_new) int32
 ) -> GreedyResult:
     """Greedy decode via draft-and-verify; output == ``greedy_decode``.
 
@@ -175,6 +176,14 @@ def speculative_decode(
     so it can never meaningfully lose, and wins whenever speech repeats
     (refrains, hesitations, hallucination loops). ``draft_params`` /
     ``draft_arch`` / ``draft_cache`` are ignored and may be None.
+
+    ``proposal_tokens`` drafts from an externally supplied expected
+    continuation instead (row i = the guessed i-th generated token). The
+    killer use is streaming re-transcription: each tick re-decodes a
+    rolling buffer that changed by ~0.5 s, so the PREVIOUS tick's output
+    predicts almost every token — acceptance is near 1 and the decode
+    cost collapses to a few verify passes. Takes precedence over
+    ``ngram_draft``; also model-free.
     """
     w = spec_window
     b, p = prompt.shape
@@ -187,9 +196,16 @@ def speculative_decode(
     n_align = max(1, len(arch.alignment_heads))
     lp_buf = max_new_tokens + w + 1
 
+    model_free = ngram_draft or proposal_tokens is not None
+    if proposal_tokens is not None:
+        # Index by generated position; pad so any in-loop gather is safe.
+        proposal_tokens = jnp.pad(
+            proposal_tokens.astype(jnp.int32),
+            ((0, 0), (0, max(0, max_new_tokens + w - proposal_tokens.shape[1]))))
+
     logits_p, cache, align_p = decoder_prefill(
         params, prompt, cache, arch, compute_dtype)
-    if ngram_draft:
+    if model_free:
         z = jnp.zeros((1,), compute_dtype)
         draft_cache = DecodeCache(z, z, z, z)     # unused placeholder carry
     else:
@@ -257,8 +273,15 @@ def speculative_decode(
         feed_pos = p + c.n_acc - 1                           # (B,)
         w0 = jnp.take_along_axis(c.tokens, feed_pos[:, None], axis=1)
 
-        # --- draft W tokens (model scan or free prompt lookup) ---------
-        if ngram_draft:
+        # --- draft W tokens (proposals, prompt lookup, or a model) -----
+        if proposal_tokens is not None:
+            rows = c.n_acc[:, None] + jnp.arange(w)[None, :]
+            drafts = jnp.take_along_axis(
+                proposal_tokens, jnp.clip(rows, 0,
+                                          proposal_tokens.shape[1] - 1),
+                axis=1)
+            d_k, d_v = c.d_self_k, c.d_self_v
+        elif ngram_draft:
             drafts = ngram_propose(c.tokens, feed_pos, w0)   # (B, W)
             d_k, d_v = c.d_self_k, c.d_self_v
         else:
@@ -360,8 +383,8 @@ def speculative_decode(
             new_tokens, n_acc2, new_done,
             jnp.where(sel5, ncache.self_k, c.self_k),
             jnp.where(sel5, ncache.self_v, c.self_v),
-            c.d_self_k if ngram_draft else jnp.where(sel5, d_k, c.d_self_k),
-            c.d_self_v if ngram_draft else jnp.where(sel5, d_v, c.d_self_v),
+            c.d_self_k if model_free else jnp.where(sel5, d_k, c.d_self_k),
+            c.d_self_v if model_free else jnp.where(sel5, d_v, c.d_self_v),
             new_align,
             jnp.where(live, new_sum, c.sum_lp),
             jnp.where(sel, new_token_lp, c.token_lp))

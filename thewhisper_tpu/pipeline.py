@@ -56,6 +56,7 @@ class ASRPipeline:
         latency_buckets: Optional[Sequence[float]] = None,
         device: Optional[str] = None,       # accepted for API parity; TPU-only
         draft: Optional[str] = None,        # speculative decoding (engine doc)
+        reuse_previous_tokens: bool = False,
     ):
         import jax.numpy as jnp
 
@@ -90,6 +91,9 @@ class ASRPipeline:
         self.latency_buckets = buckets
         self._featurizers = {}
         self.featurizer = self._featurizer_for(self.model_chunk_length_s)
+        # Cross-call speculative reuse (see _transcribe_with_fallback).
+        self._reuse_previous = bool(reuse_previous_tokens)
+        self._prev_gen_tokens: Optional[np.ndarray] = None
 
     def _featurizer_for(self, bucket_s: float) -> LogMelFeaturizer:
         feat = self._featurizers.get(bucket_s)
@@ -308,12 +312,27 @@ class ASRPipeline:
         ``mel``: device-resident features already computed for this audio
         (the language-detection path) — reused instead of re-featurizing.
         """
+        # Cross-call speculative reuse (opt-in): in streaming, each tick
+        # re-transcribes a rolling buffer that changed by ~0.5 s, so the
+        # previous call's tokens predict almost every token — they ride
+        # as proposal drafts (engine/speculative.py) and the decode
+        # collapses to a few verify passes. Greedy output is unchanged.
+        draft = None
+        if (self._reuse_previous and opts.num_beams == 1
+                and not opts.temperature
+                and self._prev_gen_tokens is not None
+                and self._prev_gen_tokens.shape[0] == audio.shape[0]):
+            draft = self._prev_gen_tokens
         if mel is not None:
             res = self.engine.transcribe_features(
-                mel, opts, languages=languages)
+                mel, opts, languages=languages, draft_tokens=draft)
         else:
             res = self.engine.transcribe_audio(
-                audio, opts, use_pallas=self._use_pallas, languages=languages)
+                audio, opts, use_pallas=self._use_pallas, languages=languages,
+                draft_tokens=draft)
+        if self._reuse_previous:
+            self._prev_gen_tokens = np.asarray(
+                res.tokens[:, res.prompt_len:], np.int32)
         if not temperatures:
             return res
         for step, t in enumerate(t for t in temperatures if t > 0.0):
