@@ -42,7 +42,16 @@ def main():
         model = os.getenv("ASR_MODEL")
         if not model:
             raise SystemExit("set ASR_MODEL to an HF checkpoint directory")
-        asr = ASRPipeline(model, chunk_length_s=config.chunk_length_s)
+        # ASR_DRAFT: "ngram" | "layer-skip:N" | a draft .npz/checkpoint —
+        # speculative decoding (exact greedy output, engine/speculative.py).
+        # ASR_REUSE_PREV=1: cross-tick proposal drafting (the previous
+        # tick's tokens speculate each re-decode; rows associate by batch
+        # position, which only ever affects speed, never content).
+        asr = ASRPipeline(
+            model, chunk_length_s=config.chunk_length_s,
+            model_size=os.getenv("ASR_MODEL_SIZE") or None,
+            draft=os.getenv("ASR_DRAFT") or None,
+            reuse_previous_tokens=os.getenv("ASR_REUSE_PREV", "0") == "1")
 
         if os.getenv("ASR_WARMUP", "1") != "0":
             import numpy as np

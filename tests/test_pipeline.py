@@ -140,7 +140,7 @@ def test_word_timestamps_skip_special_tokens_without_shift(
                 token_logprobs=np.zeros((1, 6)), no_speech_prob=np.zeros(1))
 
         def transcribe_audio(self, audio, opts, use_pallas=None,
-                             languages=None):
+                             languages=None, draft_tokens=None):
             return self.transcribe_features(None, opts)
 
     # Row r of the alignment maps to time r * 0.1 s, deterministically.
