@@ -119,7 +119,7 @@ def main():
                        + list(enc_ids[: args.max_tokens - len(prompt) - 1])
                        + [sp.eot])
             samples.append((mel, ids))
-    if len(samples) <= args.holdout:
+    if args.holdout < 0 or len(samples) <= args.holdout:
         raise SystemExit("manifest too small for the requested holdout")
     held, train = samples[: args.holdout], samples[args.holdout:]
     print(f"{len(train)} train / {len(held)} held-out samples")
@@ -138,10 +138,12 @@ def main():
         return {"mel": jnp.asarray(mel), "tokens": jnp.asarray(tokens),
                 "loss_mask": jnp.asarray(mask)}
 
-    eval_batch = pack(held)
-    agree0 = float(greedy_agreement(
-        student, params, eval_batch, draft_arch, arch))
-    print(f"held-out draft/target greedy agreement before: {agree0:.3f}")
+    eval_batch = pack(held) if held else None
+    agree0 = None
+    if eval_batch is not None:
+        agree0 = float(greedy_agreement(
+            student, params, eval_batch, draft_arch, arch))
+        print(f"held-out draft/target greedy agreement before: {agree0:.3f}")
 
     state, tx = init_distill_state(student, learning_rate=args.learning_rate)
     step = make_distill_step(draft_arch, arch, tx,
@@ -153,9 +155,10 @@ def main():
         if it % 20 == 0 or it == args.steps - 1:
             print(f"step {it:5d}  kl {float(loss):.5f}")
 
-    agree1 = float(greedy_agreement(
-        state.student, params, eval_batch, draft_arch, arch))
-    print(f"held-out agreement after: {agree1:.3f} (was {agree0:.3f})")
+    if eval_batch is not None:
+        agree1 = float(greedy_agreement(
+            state.student, params, eval_batch, draft_arch, arch))
+        print(f"held-out agreement after: {agree1:.3f} (was {agree0:.3f})")
     save_draft(args.out, state.student, draft_arch)
     print(f"draft written to {args.out}(.npz/.json) — use with "
           f'WhisperEngine.from_checkpoint(model, draft="{args.out}")')

@@ -57,11 +57,17 @@ def main():
             import numpy as np
 
             print("Warming up (compiling the decode executable)...")
-            asr.transcribe_batch(
-                [np.zeros(int((config.chunk_length_s - 1) * 16000),
-                          np.float32)],
-                return_timestamps="word",
-                generate_kwargs={"max_new_tokens": 128, "language": "en"})
+            warm = [np.zeros(int((config.chunk_length_s - 1) * 16000),
+                             np.float32)]
+            gk = {"max_new_tokens": 128, "language": "en"}
+            asr.transcribe_batch(warm, return_timestamps="word",
+                                 generate_kwargs=gk)
+            if asr._reuse_previous:
+                # The first call seeded _prev_gen_tokens; a second one
+                # compiles the proposals=True executable so the first
+                # LIVE tick doesn't pay a cold compile mid-request.
+                asr.transcribe_batch(warm, return_timestamps="word",
+                                     generate_kwargs=gk)
             print("Warmup done")
 
         transcriber = BatchedTranscriber(asr)

@@ -404,6 +404,11 @@ class WhisperEngine:
 
         temperature = (float(options.temperature)
                        if options.num_beams == 1 else 0.0)
+        if options.num_beams != 1 or temperature:
+            # Speculation is greedy-only; dropping the proposals here
+            # (rather than in the program) avoids compiling a duplicate
+            # beam/sampling executable under a proposals=True cache key.
+            draft_tokens = None
         props = self._prep_proposals(draft_tokens, bb,
                                      options.max_new_tokens)
         fn = self._generate_fn(
@@ -449,6 +454,8 @@ class WhisperEngine:
         p = prompt_arr.shape[1]
         temperature = (float(options.temperature)
                        if options.num_beams == 1 else 0.0)
+        if options.num_beams != 1 or temperature:
+            draft_tokens = None      # greedy-only (see transcribe_features)
         props = self._prep_proposals(draft_tokens, bb,
                                      options.max_new_tokens)
         fn = self._generate_from_audio_fn(
@@ -600,6 +607,14 @@ class WhisperEngine:
                 from thewhisper_tpu.engine.speculative import load_draft
 
                 draft_params, draft_arch = load_draft(draft)
+                # Match the engine compute dtype: a distilled f32 draft on
+                # a bf16 engine would read weights at 2x the bandwidth —
+                # the very thing the draft exists to minimize.
+                draft_params = jax.tree.map(
+                    lambda a: (a.astype(compute_dtype)
+                               if jnp.issubdtype(a.dtype, jnp.floating)
+                               else a),
+                    draft_params)
             else:
                 draft_params, draft_arch = load_checkpoint(
                     draft, dtype=compute_dtype,

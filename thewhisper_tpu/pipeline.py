@@ -164,8 +164,12 @@ class ASRPipeline:
             max_new_tokens=max_new_tokens, language=language, task=task,
             return_timestamps=want_words, num_beams=num_beams,
         )
+        # Cross-call reuse only when the audio is one window (the
+        # streaming rolling-buffer case); a multi-window file would feed
+        # one window's tokens as the guess for a different window.
         seqs, ts_seqs, _, langs = self._decode_windows(
-            windows, offsets, opts, bsz, want_words, fallback=fallback)
+            windows, offsets, opts, bsz, want_words, fallback=fallback,
+            allow_reuse=(len(windows) == 1))
 
         if len(seqs) == 1:
             tokens, token_ts_list = seqs[0], (ts_seqs[0] if want_words else None)
@@ -213,7 +217,8 @@ class ASRPipeline:
         )
         seqs, ts_seqs, lp_seqs, langs = self._decode_windows(
             windows, [0] * len(windows), opts, len(windows), want_words,
-            bucket_s=bucket_s, with_logprobs=True, fallback=fallback)
+            bucket_s=bucket_s, with_logprobs=True, fallback=fallback,
+            allow_reuse=True)
         return [
             self._format_output(
                 seqs[i], ts_seqs[i] if want_words else None,
@@ -227,7 +232,8 @@ class ASRPipeline:
     def _decode_windows(self, windows, offsets, opts, bsz, want_words,
                         bucket_s: Optional[float] = None,
                         with_logprobs: bool = False,
-                        fallback: Optional[Sequence[float]] = None):
+                        fallback: Optional[Sequence[float]] = None,
+                        allow_reuse: bool = False):
         """Run windows through the engine -> per-window (ids, (start,end)).
 
         Returns (seqs, ts_seqs, lp_seqs, langs): ``langs`` is the per-window
@@ -257,9 +263,11 @@ class ASRPipeline:
                 codes, _ = self.engine.detect_language(mel)
                 languages = [str(c) for c in codes]
                 res = self._transcribe_with_fallback(
-                    audio, opts, fallback, languages=languages, mel=mel)
+                    audio, opts, fallback, languages=languages, mel=mel,
+                    allow_reuse=allow_reuse)
             else:
-                res = self._transcribe_with_fallback(audio, opts, fallback)
+                res = self._transcribe_with_fallback(
+                    audio, opts, fallback, allow_reuse=allow_reuse)
             langs.extend((languages or [opts.language] * len(batch))[:len(batch)])
             p = res.prompt_len
             if want_words:
@@ -302,7 +310,8 @@ class ASRPipeline:
     # -- temperature fallback ladder (opt-in) --------------------------------
 
     def _transcribe_with_fallback(self, audio, opts, temperatures,
-                                  languages=None, mel=None):
+                                  languages=None, mel=None,
+                                  allow_reuse: bool = False):
         """openai-whisper style quality gating: windows whose output is
         repetitive (zlib compression ratio > 2.4) or low-confidence (mean
         token logprob < -1.0) are re-decoded by sampling at the next
@@ -312,14 +321,17 @@ class ASRPipeline:
         ``mel``: device-resident features already computed for this audio
         (the language-detection path) — reused instead of re-featurizing.
         """
-        # Cross-call speculative reuse (opt-in): in streaming, each tick
-        # re-transcribes a rolling buffer that changed by ~0.5 s, so the
-        # previous call's tokens predict almost every token — they ride
-        # as proposal drafts (engine/speculative.py) and the decode
+        # Cross-call speculative reuse (opt-in, streaming path only): each
+        # tick re-transcribes a rolling buffer that changed by ~0.5 s, so
+        # the previous call's tokens predict almost every token — they
+        # ride as proposal drafts (engine/speculative.py) and the decode
         # collapses to a few verify passes. Greedy output is unchanged.
+        # ``allow_reuse`` gates this to transcribe_batch (the streaming
+        # backend's entry): offline windowed calls would feed one window's
+        # tokens as a guess for a DIFFERENT window — pure verify misses.
+        reuse = self._reuse_previous and allow_reuse
         draft = None
-        if (self._reuse_previous and opts.num_beams == 1
-                and not opts.temperature
+        if (reuse and opts.num_beams == 1 and not opts.temperature
                 and self._prev_gen_tokens is not None
                 and self._prev_gen_tokens.shape[0] == audio.shape[0]):
             draft = self._prev_gen_tokens
@@ -330,7 +342,7 @@ class ASRPipeline:
             res = self.engine.transcribe_audio(
                 audio, opts, use_pallas=self._use_pallas, languages=languages,
                 draft_tokens=draft)
-        if self._reuse_previous:
+        if reuse:
             self._prev_gen_tokens = np.asarray(
                 res.tokens[:, res.prompt_len:], np.int32)
         if not temperatures:

@@ -73,16 +73,25 @@ def greedy_agreement(
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Fraction of teacher-forced positions where draft argmax == target
-    argmax — the statistic the speculative acceptance rate tracks."""
+    argmax — the statistic the speculative acceptance rate tracks.
+
+    ``batch["loss_mask"]`` (optional) restricts the mean to real
+    transcript positions; without it, eot-padding runs would dominate
+    (teacher and student trivially agree there) and inflate the number.
+    """
     enc = encoder_forward(teacher, batch["mel"], teacher_arch, compute_dtype)
     tokens_in = batch["tokens"][:, :-1]
     t_logits = decoder_train_forward(
         teacher, tokens_in, enc, teacher_arch, compute_dtype)
     s_logits = decoder_train_forward(
         student, tokens_in, enc, student_arch, compute_dtype)
-    return jnp.mean(
-        (jnp.argmax(t_logits, -1) == jnp.argmax(s_logits, -1))
-        .astype(jnp.float32))
+    agree = (jnp.argmax(t_logits, -1)
+             == jnp.argmax(s_logits, -1)).astype(jnp.float32)
+    mask = batch.get("loss_mask")
+    if mask is not None:
+        m = mask[:, 1:]
+        return (agree * m).sum() / jnp.maximum(m.sum(), 1.0)
+    return jnp.mean(agree)
 
 
 def init_distill_state(student, learning_rate: float = 1e-4,
