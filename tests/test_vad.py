@@ -54,13 +54,15 @@ def test_neural_vad_accuracy_at_reference_threshold():
     prec, rec, counts = _score(vad, threshold=0.1)
     print(f"NeuralVAD @0.1: precision {prec:.3f} recall {rec:.3f} {counts}")
     # Threshold 0.1 is the sensitive streaming gate: recall must be near
-    # perfect, precision strong.
+    # perfect, precision strong. The round-2 hardened corpus (syllabic AM
+    # noise, chirps, arpeggios as negatives) measured 0.973 / 0.996;
+    # thresholds leave seed margin.
     assert rec >= 0.97, (prec, rec, counts)
-    assert prec >= 0.80, (prec, rec, counts)
+    assert prec >= 0.92, (prec, rec, counts)
 
     prec5, rec5, counts5 = _score(vad, threshold=0.5)
     print(f"NeuralVAD @0.5: precision {prec5:.3f} recall {rec5:.3f} {counts5}")
-    assert rec5 >= 0.90 and prec5 >= 0.85, (prec5, rec5, counts5)
+    assert rec5 >= 0.95 and prec5 >= 0.93, (prec5, rec5, counts5)
 
 
 def test_energy_vad_accuracy_documented():

@@ -100,9 +100,17 @@ def synth_speech(rng: np.random.Generator, seconds: float,
 
 def synth_negative(rng: np.random.Generator, seconds: float,
                    sr: int = SR) -> np.ndarray:
-    """One non-speech clip: silence / noise / hum / tone / clicks / rumble."""
+    """One non-speech clip.
+
+    Kinds 0-5: silence / white / pink / hum / tones / clicks. Kinds 6-8
+    are the deliberately *speech-confusable* hard negatives that set the
+    precision of the sensitive 0.1 streaming gate: noise amplitude-
+    modulated at syllabic rates (2-8 Hz — the envelope cue alone must not
+    fire the VAD), frequency chirps, and music-like tone arpeggios with
+    note-rate onsets.
+    """
     n = int(seconds * sr)
-    kind = rng.integers(0, 6)
+    kind = rng.integers(0, 9)
     if kind == 0:      # near-silence with dither
         return (1e-4 * rng.standard_normal(n)).astype(np.float32)
     if kind == 1:      # white noise
@@ -132,14 +140,48 @@ def synth_negative(rng: np.random.Generator, seconds: float,
         y = np.asarray(y, np.float32)
         return (rng.uniform(0.05, 0.4) * y / (np.abs(y).max() + 1e-9)
                 ).astype(np.float32)
-    # clicks / impulsive transients
+    if kind == 5:      # clicks / impulsive transients
+        y = np.zeros(n, np.float32)
+        for _ in range(int(rng.integers(2, 12))):
+            pos = int(rng.integers(0, max(n - 64, 1)))
+            y[pos: pos + 64] = (rng.uniform(0.2, 0.9)
+                                * np.exp(-np.arange(64) / 8.0)
+                                * rng.standard_normal(64))
+        return y
+    tt = np.arange(n) / sr
+    if kind == 6:      # syllabic-rate AM noise (envelope-only confuser)
+        from scipy.signal import lfilter
+
+        w = rng.standard_normal(n).astype(np.float32)
+        if rng.random() < 0.5:                # band-limit like voiced energy
+            w = lfilter([0.1], [1.0, -0.9], w).astype(np.float32)
+        am = 0.5 - 0.5 * np.cos(
+            2 * np.pi * rng.uniform(2.0, 8.0) * tt + rng.uniform(0, 6.28))
+        y = (w * am.astype(np.float32))
+        return (rng.uniform(0.1, 0.6) * y / (np.abs(y).max() + 1e-9)
+                ).astype(np.float32)
+    if kind == 7:      # frequency chirps / sirens
+        f0 = rng.uniform(200, 1500)
+        f1 = rng.uniform(500, 4000)
+        rate = rng.uniform(0.3, 3.0)
+        sweep = f0 + (f1 - f0) * 0.5 * (1 - np.cos(2 * np.pi * rate * tt))
+        y = np.sin(2 * np.pi * np.cumsum(sweep) / sr).astype(np.float32)
+        return (rng.uniform(0.05, 0.4) * y).astype(np.float32)
+    # kind == 8: music-like tone arpeggio with note-rate onsets
     y = np.zeros(n, np.float32)
-    for _ in range(int(rng.integers(2, 12))):
-        pos = int(rng.integers(0, max(n - 64, 1)))
-        y[pos: pos + 64] = (rng.uniform(0.2, 0.9)
-                            * np.exp(-np.arange(64) / 8.0)
-                            * rng.standard_normal(64))
-    return y
+    root = rng.uniform(110, 440)
+    note_len = int(rng.uniform(0.1, 0.4) * sr)
+    pos = 0
+    while pos < n:
+        dur = min(note_len, n - pos)
+        f = root * 2 ** (rng.integers(0, 13) / 12.0)
+        env = np.exp(-np.arange(dur) / (0.3 * sr))
+        tone = sum(a * np.sin(2 * np.pi * f * k * np.arange(dur) / sr)
+                   for k, a in ((1, 1.0), (2, 0.5), (3, 0.25)))
+        y[pos: pos + dur] += (env * tone).astype(np.float32)
+        pos += dur
+    return (rng.uniform(0.1, 0.5) * y / (np.abs(y).max() + 1e-9)
+            ).astype(np.float32)
 
 
 def make_clip(rng: np.random.Generator, seconds: float = 4.0,
