@@ -103,6 +103,14 @@ def main():
             times.append(time.perf_counter() - t0)
         return statistics.median(times), res
 
+    # HBM footprint (reference quotes ~2 GB RAM for its CoreML engine).
+    try:
+        ms = jax.devices()[0].memory_stats()
+        log(f"device memory: {ms.get('bytes_in_use', 0) / 2**30:.2f} GiB "
+            f"in use / {ms.get('bytes_limit', 0) / 2**30:.2f} GiB limit")
+    except Exception:
+        pass
+
     t_short, res_s = timed(short_opts)
     t_long, res_l = timed(long_opts)
     n_short = int(res_s.num_generated[0])

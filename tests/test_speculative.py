@@ -318,6 +318,25 @@ def test_engine_speculative_matches_plain(tiny):
     assert rb.tokens.shape[0] == 2
 
 
+def test_speculative_with_int8_cross_kv(tiny):
+    """Speculation composes with the int8 cross-KV cache ('S' default)."""
+    arch, params = tiny
+    plain = WhisperEngine(params, arch, special=SP, batch_buckets=(2,),
+                          cross_kv_int8=True)
+    spec = WhisperEngine(params, arch, special=SP, batch_buckets=(2,),
+                         cross_kv_int8=True, spec_ngram=True, spec_window=W)
+    mel = np.random.default_rng(21).standard_normal(
+        (2, arch.n_mels, 100)).astype(np.float32)
+    opts = GenerationOptions(max_new_tokens=10, language="en",
+                             return_timestamps=True)
+    a = plain.transcribe_features(mel, opts)
+    b = spec.transcribe_features(mel, opts)
+    np.testing.assert_array_equal(a.num_generated, b.num_generated)
+    for i, n in enumerate(a.num_generated):
+        upto = a.prompt_len + int(n)
+        np.testing.assert_array_equal(b.tokens[i, :upto], a.tokens[i, :upto])
+
+
 def test_from_checkpoint_layer_skip_draft(tmp_path_factory):
     from make_tiny_checkpoint import make_checkpoint
 
