@@ -19,10 +19,19 @@ def test_median_filter_matches_hf():
         np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
-def test_median_filter_short_input_identity():
-    x = np.random.default_rng(1).standard_normal((2, 5)).astype(np.float32)
-    np.testing.assert_array_equal(median_filter(x, 7), x)
-    np.testing.assert_array_equal(median_filter(x, 1), x)
+def test_median_filter_short_inputs_match_hf():
+    """HF skips only when T <= width//2; width//2 < T < width IS filtered
+    (a round-2 review found the old 'T < width -> identity' shortcut)."""
+    import torch
+    from transformers.models.whisper.generation_whisper import _median_filter
+
+    rng = np.random.default_rng(1)
+    for t in range(1, 10):
+        x = rng.standard_normal((2, 3, t)).astype(np.float32)
+        ref = _median_filter(torch.from_numpy(x), 7).numpy()
+        np.testing.assert_allclose(median_filter(x, 7), ref, atol=1e-6,
+                                   err_msg=f"T={t}")
+        np.testing.assert_array_equal(median_filter(x, 1), x)
 
 
 def test_dtw_matches_hf():

@@ -85,6 +85,35 @@ def test_sessions_are_isolated(server):
     assert r["words"] == [] and r["uncommited_words"] == []
 
 
+def test_keep_alive_with_unread_bodies(server):
+    """HTTP/1.1 keep-alive: bodies on routes that ignore them must be
+    drained, or the leftover bytes desync the next request on the same
+    connection (round-2 review finding)."""
+    import http.client
+    import json as _json
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        def post(path, body=b"{}"):
+            conn.request("POST", path, body=body,
+                         headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            data = r.read()
+            assert r.status == 200, (path, r.status, data)
+            return _json.loads(data)
+
+        sid = post("/session/create/")["session_id"]
+        payload = _json.dumps(
+            {"audio_data": _b64(np.zeros(1600, np.float32))}).encode()
+        for _ in range(3):
+            post(f"/session/{sid}/add_chunk", body=payload)
+        r = post(f"/session/{sid}/process", body=b'{"ignored": 1}')
+        assert "words" in r and "uncommited_words" in r
+        post(f"/session/{sid}/end")
+    finally:
+        conn.close()
+
+
 def test_bad_requests(server):
     import httpx
 

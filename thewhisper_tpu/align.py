@@ -24,10 +24,11 @@ def median_filter(x: np.ndarray, width: int) -> np.ndarray:
     """Sliding median over the last axis with reflect padding.
 
     Matches HF ``_median_filter`` (torch unfold + median over a
-    reflect-padded window); identity when width <= 1 or the axis is shorter
-    than the width.
+    reflect-padded window); identity when width <= 1 or the axis is too
+    short to reflect-pad (HF skips only when T <= width // 2 — short
+    windows with width//2 < T < width ARE filtered).
     """
-    if width <= 1 or x.shape[-1] < width:
+    if width <= 1 or x.shape[-1] <= width // 2:
         return x
     half = width // 2
     padded = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, half)], mode="reflect")

@@ -148,6 +148,12 @@ def _make_handler(manager: SessionManager):
         def do_POST(self):
             parsed = urlparse(self.path)
             parts = [p for p in parsed.path.split("/") if p]
+            # Drain the request body up front: with HTTP/1.1 keep-alive a
+            # handler that responds without consuming the body leaves its
+            # bytes on the socket, which the next request parse chokes on
+            # (400 + dropped connection for the client thereafter).
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            self._body = self.rfile.read(length) if length else b""
             try:
                 if parts == ["session", "create"]:
                     self._send(200, {"session_id": manager.create()})
@@ -184,14 +190,12 @@ def _make_handler(manager: SessionManager):
             b64: Optional[str] = None
             if "audio_data" in qs:
                 b64 = qs["audio_data"][0]
-            else:
-                length = int(self.headers.get("Content-Length", 0) or 0)
-                if length:
-                    try:
-                        payload = json.loads(self.rfile.read(length))
-                        b64 = payload.get("audio_data")
-                    except Exception:
-                        b64 = None
+            elif self._body:
+                try:
+                    payload = json.loads(self._body)
+                    b64 = payload.get("audio_data")
+                except Exception:
+                    b64 = None
             if not b64:
                 raise ValueError("audio_data missing")
             return np.frombuffer(base64.b64decode(b64), dtype=np.float32)

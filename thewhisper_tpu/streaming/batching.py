@@ -18,11 +18,9 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from thewhisper_tpu.streaming.pipeline import (
-    GIBBERISH_THRESHOLD,
-    MAX_WORD_DURATION,
     TranscriptionBackend,
     Word,
-    compression_ratio,
+    words_from_result,
 )
 
 
@@ -54,6 +52,9 @@ class BatchedTranscriber:
 
     def submit(self, audio: np.ndarray) -> Future:
         fut: Future = Future()
+        if self._stop.is_set():
+            fut.set_exception(RuntimeError("transcriber closed"))
+            return fut
         self._q.put((audio, fut))
         return fut
 
@@ -61,6 +62,19 @@ class BatchedTranscriber:
         self._stop.set()
         self._q.put(None)
         self._thread.join(timeout=2.0)
+        self._drain()
+
+    def _drain(self) -> None:
+        """Fail any futures still queued — a blocked ``Future.result()``
+        with no timeout would otherwise hang its session thread (and the
+        per-session lock it holds) forever."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item[1].set_exception(RuntimeError("transcriber closed"))
 
     def _worker(self) -> None:
         while not self._stop.is_set():
@@ -95,8 +109,13 @@ class BatchedTranscriber:
                 for f in futures:
                     f.set_exception(e)
                 continue
-            for f, r in zip(futures, results):
-                f.set_result(r)
+            for i, f in enumerate(futures):
+                if i < len(results):
+                    f.set_result(results[i])
+                else:  # defensive: a short result list must not strand waiters
+                    f.set_exception(
+                        RuntimeError("transcribe_batch returned too few rows"))
+        self._drain()
 
     def backend(self) -> "QueuedBackend":
         return QueuedBackend(self)
@@ -115,20 +134,5 @@ class QueuedBackend(TranscriptionBackend):
     def transcribe(self, audio: np.ndarray, buffer_start_time: float,
                    sample_rate: int) -> List[Word]:
         result: Dict[str, Any] = self.transcriber.submit(audio).result()
-        if compression_ratio(result["text"]) > GIBBERISH_THRESHOLD:
-            return []
-        audio_duration = len(audio) / sample_rate
-        words: List[Word] = []
-        for token in result.get("chunks", []):
-            start, end = token["timestamp"]
-            if end is None:
-                if audio_duration - start < MAX_WORD_DURATION:
-                    end = audio_duration
-                else:
-                    end = start + MAX_WORD_DURATION
-            words.append({
-                "text": token["text"],
-                "start": start + buffer_start_time,
-                "end": end + buffer_start_time,
-            })
-        return words
+        return words_from_result(
+            result, len(audio) / sample_rate, buffer_start_time)

@@ -51,6 +51,33 @@ def compression_ratio(text: str) -> float:
 Word = Dict[str, Any]  # {"text": str, "start": float, "end": float}
 
 
+def words_from_result(result: Dict[str, Any], audio_duration: float,
+                      buffer_start_time: float) -> List[Word]:
+    """Pipeline ``{"text","chunks"}`` output -> absolute-time words.
+
+    Shared by the single-session and batched local backends: applies the
+    gibberish compression gate and the reference's open-end clamp
+    (missing word ends become min(buffer end, start + 1.0 s), reference
+    ``streaming_pipeline.py:416-426``).
+    """
+    if compression_ratio(result["text"]) > GIBBERISH_THRESHOLD:
+        return []
+    words: List[Word] = []
+    for token in result.get("chunks", []):
+        start, end = token["timestamp"]
+        if end is None:
+            if audio_duration - start < MAX_WORD_DURATION:
+                end = audio_duration
+            else:
+                end = start + MAX_WORD_DURATION
+        words.append({
+            "text": token["text"],
+            "start": start + buffer_start_time,
+            "end": end + buffer_start_time,
+        })
+    return words
+
+
 class TranscriptionBackend(ABC):
     """Turn an audio buffer into absolute-time words."""
 
@@ -91,7 +118,6 @@ class LocalWhisperBackend(TranscriptionBackend):
 
     def transcribe(self, audio: np.ndarray, buffer_start_time: float,
                    sample_rate: int) -> List[Word]:
-        audio_duration = len(audio) / sample_rate
         result = self.asr_pipeline(
             audio,
             return_timestamps="word",
@@ -102,22 +128,8 @@ class LocalWhisperBackend(TranscriptionBackend):
             },
             chunk_length_s=self.chunk_length_s,
         )
-        if compression_ratio(result["text"]) > GIBBERISH_THRESHOLD:
-            return []
-        words: List[Word] = []
-        for token in result.get("chunks", []):
-            start, end = token["timestamp"]
-            if end is None:
-                if audio_duration - start < MAX_WORD_DURATION:
-                    end = audio_duration
-                else:
-                    end = start + MAX_WORD_DURATION
-            words.append({
-                "text": token["text"],
-                "start": start + buffer_start_time,
-                "end": end + buffer_start_time,
-            })
-        return words
+        return words_from_result(
+            result, len(audio) / sample_rate, buffer_start_time)
 
 
 class RemoteAPIBackend(TranscriptionBackend):

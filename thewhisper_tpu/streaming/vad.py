@@ -29,11 +29,12 @@ _N_FRAMES = 3          # frames at offsets 0/128/256 inside a 512 window
 _N_BINS = _N_FFT // 2 + 1
 _HIDDEN = 64
 _WEIGHTS_FILE = os.path.join(os.path.dirname(__file__), "vad_weights.npz")
+_HANN = np.hanning(_N_FFT).astype(np.float32)   # hot path: ~31 calls/s/stream
 
 
 def vad_features(window: np.ndarray) -> np.ndarray:
     """(512,) audio -> (129, 3) log-magnitude STFT features."""
-    hann = np.hanning(_N_FFT).astype(np.float32)
+    hann = _HANN
     frames = np.stack([window[o: o + _N_FFT] for o in
                        range(0, _N_FRAMES * _HOP, _HOP)])
     mag = np.abs(np.fft.rfft(frames * hann, axis=-1)).astype(np.float32)
