@@ -183,10 +183,19 @@ def _parse_llm_json(text: str) -> Dict[int, str]:
     except json.JSONDecodeError:
         return {}
     out = {}
-    for item in data.get("classifications", []):
-        cat = str(item.get("category", "")).upper()
+    items = data.get("classifications", [])
+    if not isinstance(items, list):
+        return {}
+    for item in items:
+        # Tolerant per-item too: non-dict entries and non-integer indices
+        # are the LLM's problem, not a reason to abort the whole corpus.
+        try:
+            cat = str(item.get("category", "")).upper()
+            idx = int(item.get("index", -1))
+        except (AttributeError, TypeError, ValueError):
+            continue
         if cat in CATEGORIES:
-            out[int(item.get("index", -1))] = cat
+            out[idx] = cat
     return out
 
 

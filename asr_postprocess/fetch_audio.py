@@ -28,7 +28,10 @@ def fetch_audio(analyses: List[Dict[str, Any]], out_dir: str,
             continue
         dst_name = f"{rank:03d}_{os.path.basename(src)}"
         shutil.copyfile(src, os.path.join(out_dir, dst_name))
-        a["audio_asset"] = os.path.join(os.path.basename(out_dir), dst_name)
+        # normpath first: a trailing slash would make basename "" and the
+        # dashboard's relative <audio src> 404.
+        a["audio_asset"] = os.path.join(
+            os.path.basename(os.path.normpath(out_dir)), dst_name)
     return analyses
 
 

@@ -65,15 +65,26 @@ def score_prompt(
     dev: List[Dict[str, str]],
     max_edits: Optional[int] = 6,
 ) -> float:
-    """Corpus WER (lower is better) of guarded corrections on the dev set."""
-    refs, hyps = [], []
-    for s in dev:
+    """Corpus WER (lower is better) of guarded corrections on the dev set.
+
+    Dev samples are independent LLM requests, so they run through a
+    thread pool (the candidate search issues hundreds of calls — serial
+    scoring was 10-20 min wall-clock; same pattern as
+    ``analyze_errors.analyze_manifest``).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from asr_postprocess.config import LLM_WORKERS
+
+    def one(s):
         out, _, _ = safe_correct(
             llm, s["hyp"], max_edits=max_edits,
             prompt_template=prompt_template)
-        refs.append(s["ref"])
-        hyps.append(out)
-    return wer(refs, hyps)
+        return out
+
+    with ThreadPoolExecutor(max_workers=LLM_WORKERS) as pool:
+        hyps = list(pool.map(one, dev))
+    return wer([s["ref"] for s in dev], hyps)
 
 
 def summarize_errors(dev: List[Dict[str, str]], max_examples: int = 8) -> str:

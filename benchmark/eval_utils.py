@@ -145,7 +145,8 @@ def merge_save_results(path: str, task_name: str,
 
 def evaluate_whisper(pipeline, tasks: List[Dict[str, Any]], sample_loader,
                      results_path: str = "results/eval.json",
-                     batch_size: int = 8, **loader_kwargs) -> Dict[str, Any]:
+                     batch_size: int = 8, max_new_tokens: int = 256,
+                     **loader_kwargs) -> Dict[str, Any]:
     """Evaluate across tasks; print a summary table; merge-save results."""
     all_results: Dict[str, Any] = {}
     for task in tasks:
@@ -153,7 +154,8 @@ def evaluate_whisper(pipeline, tasks: List[Dict[str, Any]], sample_loader,
         logger.info("evaluating %s", task["name"])
         samples = sample_loader(task, **loader_kwargs)
         res = evaluate_dataset(pipeline, samples, language=language,
-                               batch_size=batch_size)
+                               batch_size=batch_size,
+                               max_new_tokens=max_new_tokens)
         all_results[task["name"]] = res
         merge_save_results(results_path, task["name"], res)
         print(f"{task['name']:32s} WER {res['wer']:6.2f}  CER {res['cer']:6.2f}"

@@ -84,8 +84,10 @@ def main():
             pipeline, samples, language=args.language,
             batch_size=args.batch_size, max_new_tokens=args.max_new_tokens)
         eval_utils.merge_save_results(args.results, "local_manifest", res)
+        ttft = (f"{res['ttft_s']:.3f}s" if res["ttft_s"] is not None
+                else "n/a")
         print(f"WER {res['wer']:.2f}  CER {res['cer']:.2f}  "
-              f"RTFx {res['rtfx']:.2f}  TTFT {res['ttft_s']:.3f}s "
+              f"RTFx {res['rtfx']:.2f}  TTFT {ttft} "
               f"n={res['n_samples']}")
         return
 
@@ -97,7 +99,7 @@ def main():
     eval_utils.evaluate_whisper(
         pipeline, tasks, data_utils.load_hf_dataset,
         results_path=args.results, batch_size=args.batch_size,
-        **loader_kwargs)
+        max_new_tokens=args.max_new_tokens, **loader_kwargs)
 
 
 if __name__ == "__main__":

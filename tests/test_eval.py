@@ -74,6 +74,11 @@ def test_english_normalizer_numbers_full():
     assert n("seven hundred and eighty-nine") == "789"
     assert n("two dollars") == "2 dollars"
     assert n("$2.50") == "2.50 dollars"
+    # Spoken dollars-and-cents converges with the written decimal form
+    # (leaderboard combine_cents semantics; a round-2 review found the
+    # forms diverging and inflating WER on currency-heavy sets).
+    assert n("two dollars and fifty cents") == "2.50 dollars"
+    assert n("two dollars and five cents") == "2.05 dollars"
     assert n("fifty cents") == "50 cents"
     assert n("five pounds") == "5 pounds"
     # Standalone "1" is written "one" (leaderboard readability rule).

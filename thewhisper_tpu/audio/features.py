@@ -124,8 +124,12 @@ def log_mel_spectrogram(
     frames = frames.astype(compute_dtype) * window.astype(compute_dtype)
     spec = jnp.fft.rfft(frames, n=N_FFT, axis=-1)             # (B, F, 201)
     power = (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
+    # HIGHEST: TPU's default f32 einsum runs bf16 passes (CLAUDE.md
+    # precision invariant) — this path is the parity reference the Pallas
+    # kernel (which itself forces HIGHEST) is validated against.
     mel = jnp.einsum(
-        "bfk,km->bfm", power, mel_fb, preferred_element_type=jnp.float32
+        "bfk,km->bfm", power, mel_fb, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     max_val = jnp.max(log_spec, axis=(1, 2), keepdims=True)

@@ -616,9 +616,13 @@ class EnglishTextNormalizer:
         words = [_SPELLINGS.get(w, w) for w in words]
         s = " ".join(words)
 
-        # "$2 and ¢50" -> "$2 and 50 cents"; standalone ¢X -> "X cents".
+        # Combine cents into the decimal form so spoken "two dollars and
+        # fifty cents" and written "$2.50" CONVERGE (leaderboard
+        # combine_cents semantics): "$2 and ¢50" -> "$2.50" -> "2.50
+        # dollars". Standalone ¢X -> "X cents".
         s = re.sub(r"([€£$])([0-9]+)(?: and)? ¢([0-9]{1,2})\b",
-                   r"\1\2 and \3 cents", s)
+                   lambda m: f"{m.group(1)}{m.group(2)}.{int(m.group(3)):02d}",
+                   s)
         s = re.sub(r"¢([0-9]+)\b", r"\1 cents", s)
         s = re.sub(r"\$(\d+(?:\.\d+)?)\b", r"\1 dollars", s)
         s = re.sub(r"£(\d+(?:\.\d+)?)\b", r"\1 pounds", s)
