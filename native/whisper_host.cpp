@@ -42,10 +42,13 @@ int whisper_dtw_path(const double* cost, int s, int t,
       const double c_diag = acc_prev[j - 1];
       const double c_up = acc_prev[j];
       const double c_left = acc_cur[j - 1];
-      double best = c_diag;
-      int8_t move = 0;
-      if (c_up < best) { best = c_up; move = 1; }
-      if (c_left < best) { best = c_left; move = 2; }
+      // HF's exact tie cascade (strict <): ties fall through to LEFT,
+      // even when left is not the minimum. Matches align.py::dtw_path.
+      double best;
+      int8_t move;
+      if (c_diag < c_up && c_diag < c_left) { best = c_diag; move = 0; }
+      else if (c_up < c_diag && c_up < c_left) { best = c_up; move = 1; }
+      else { best = c_left; move = 2; }
       acc_cur[j] = row_cost[j - 1] + best;
       tr_cur[j] = move;
     }

@@ -34,6 +34,46 @@ def test_median_filter_short_inputs_match_hf():
         np.testing.assert_array_equal(median_filter(x, 1), x)
 
 
+def test_dtw_tie_inputs_match_hf():
+    """Quantized (tie-heavy) cost matrices: HF's strict-< cascade falls
+    through to LEFT on ties; both our implementations must replicate it
+    (round-2 review finding)."""
+    from transformers.models.whisper.generation_whisper import (
+        _dynamic_time_warping,
+    )
+
+    from thewhisper_tpu.align import dtw_path
+    from thewhisper_tpu.native_lib import dtw_path_native
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        s, t = int(rng.integers(2, 10)), int(rng.integers(2, 16))
+        m = np.round(rng.standard_normal((s, t)) * 2) / 2
+        ref_ti, ref_tj = _dynamic_time_warping(m)
+        ours = dtw_path(m)
+        np.testing.assert_array_equal(ours[0], ref_ti)
+        np.testing.assert_array_equal(ours[1], ref_tj)
+        nat = dtw_path_native(m)
+        if nat is not None:
+            np.testing.assert_array_equal(nat[0], ref_ti)
+            np.testing.assert_array_equal(nat[1], ref_tj)
+
+
+def test_lcs_merge_handles_open_right_end():
+    """The last kept token of a window carries (t0, None); an equal start
+    across windows must not compare float <= None (round-2 review)."""
+    from thewhisper_tpu.text import find_longest_common_sequence
+
+    seqs = [[1, 2, 3, 4], [3, 4, 5, 6]]
+    ts = [
+        [(0.0, 0.5), (0.5, 1.0), (1.0, 1.2), (1.2, None)],
+        [(1.0, 1.2), (1.2, 1.5), (1.5, 1.8), (1.8, None)],
+    ]
+    tokens, merged_ts = find_longest_common_sequence(seqs, ts)
+    assert tokens == [1, 2, 3, 4, 5, 6]
+    assert len(merged_ts) == 6
+
+
 def test_dtw_matches_hf():
     from transformers.models.whisper.generation_whisper import _dynamic_time_warping
 

@@ -36,6 +36,10 @@ def test_mesh_shapes():
     assert mesh.devices.shape == (4, 2)
     mesh = make_mesh(8, dp=2, tp=4)
     assert mesh.devices.shape == (2, 4)
+    # Pure-DP request: dp alone derives tp (a tp=2 default used to reject
+    # valid dp=n factorizations — round-2 review finding).
+    mesh = make_mesh(8, dp=8)
+    assert mesh.devices.shape == (8, 1)
     with pytest.raises(ValueError):
         make_mesh(8, dp=3, tp=3)
 

@@ -74,8 +74,13 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         c_diag = acc[i - 1, j - 1]
         c_up = acc[i - 1, j]
         c_left = acc[i, j - 1]
+        # HF's exact tie cascade (strict <): a tie falls through to LEFT
+        # even when left is not the minimum — replicated for tie-input
+        # timestamp parity (argmin's diag-first tie-break diverged).
         stacked = np.stack([c_diag, c_up, c_left])
-        choice = np.argmin(stacked, axis=0)
+        pick_diag = (c_diag < c_up) & (c_diag < c_left)
+        pick_up = (c_up < c_diag) & (c_up < c_left)
+        choice = np.where(pick_diag, 0, np.where(pick_up, 1, 2))
         acc[i, j] = cost64[i - 1, j - 1] + stacked[choice, np.arange(len(i))]
         trace[i, j] = choice
 

@@ -129,25 +129,36 @@ def _logmel_raw(frames: jnp.ndarray, dft: jnp.ndarray, mel: jnp.ndarray,
 
 
 class _Banks:
-    """Cached constant matrices keyed by the filter bank identity.
+    """Cached constant matrices keyed by (mel_fb, window) OBJECT identity.
 
     Cached as NUMPY arrays: ``log_mel_pallas`` may run inside an outer jit
     trace (the engine's fused audio program), where a ``jnp.asarray``
     result is a tracer — caching one leaks it into later traces
     (UnexpectedTracerError). The jnp conversion happens fresh at each use.
+
+    Identity keying (not content keying) for two reasons found in round-2
+    review: a content hash ignored the window (a different window hit the
+    stale DFT matrix silently), and hashing a device-resident mel_fb paid
+    a blocking device->host fetch — one tunnel RTT — on EVERY eager call.
+    Entries hold strong references to the keyed arrays so their ids can't
+    be recycled while cached; featurizers keep one (mel_fb, window) pair
+    alive, so the cache stays tiny.
     """
 
     _cache = {}
 
     @classmethod
-    def get(cls, mel_fb: np.ndarray, window: np.ndarray):
-        key = (mel_fb.shape, int(np.asarray(mel_fb).sum() * 1e6))
+    def get(cls, mel_fb, window):
+        key = (id(mel_fb), id(window))
         hit = cls._cache.get(key)
-        if hit is None:
-            hit = (_dft_matrix(np.asarray(window, np.float64)),
+        if hit is None or hit[0] is not mel_fb or hit[1] is not window:
+            if len(cls._cache) > 16:    # pathological per-call arrays
+                cls._cache.clear()
+            hit = (mel_fb, window,
+                   _dft_matrix(np.asarray(window, np.float64)),
                    _mel_matrix(np.asarray(mel_fb)))
             cls._cache[key] = hit
-        return hit
+        return hit[2], hit[3]
 
 
 def log_mel_pallas(audio: jnp.ndarray, mel_fb: jnp.ndarray,

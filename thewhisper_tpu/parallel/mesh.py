@@ -34,7 +34,10 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     devices = jax.devices()
     n = n_devices or len(devices)
     if tp is None:
-        tp = 2 if n % 2 == 0 and n >= 2 else 1
+        # dp given alone is a pure-DP request: derive tp from it instead
+        # of defaulting tp=2 (which rejected valid dp=n factorizations).
+        tp = (n // dp if dp else
+              2 if n % 2 == 0 and n >= 2 else 1)
     if dp is None:
         dp = n // tp
     if dp * tp != n:

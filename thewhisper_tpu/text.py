@@ -142,10 +142,16 @@ Timestamp = Tuple[Optional[float], Optional[float]]
 
 def _ts_ordered(left: Timestamp, right: Timestamp) -> bool:
     # A match across windows counts only when timestamps are consistent:
-    # missing end on the left always qualifies, else tuple ordering.
+    # missing end on the left always qualifies, else ordering. The right
+    # end may ALSO be None (the last kept token of a window) — with equal
+    # starts, bare tuple comparison would reach `float <= None` and raise
+    # (latent in the reference monkey-patch too); treat a missing right
+    # end as unbounded.
     if left[1] is None:
         return True
-    return left <= right
+    if left[0] != right[0]:
+        return left[0] < right[0]
+    return right[1] is None or left[1] <= right[1]
 
 
 def find_longest_common_sequence(
