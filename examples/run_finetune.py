@@ -132,7 +132,11 @@ def main():
         if args.save_every and it and it % args.save_every == 0:
             save_train_state(state, os.path.join(args.out, f"state_{it}"))
 
-    save_hf_checkpoint(state.params, arch, args.out)
+    # chunk_length_s marks the export as a flexible-chunk fine-tune so
+    # reloading auto-selects position_mode="truncate" (models/load.py's
+    # detection) instead of wrongly interpolating.
+    save_hf_checkpoint(state.params, arch, args.out,
+                       chunk_length_s=args.chunk_length)
     # Carry the tokenizer along so the output directory is self-contained.
     for fname in ("tokenizer.json", "tokenizer_config.json", "vocab.json",
                   "merges.txt", "normalizer.json", "added_tokens.json",

@@ -56,18 +56,24 @@ def main():
         if os.getenv("ASR_WARMUP", "1") != "0":
             import numpy as np
 
-            print("Warming up (compiling the decode executable)...")
-            warm = [np.zeros(int((config.chunk_length_s - 1) * 16000),
-                             np.float32)]
+            print("Warming up (compiling the decode executables)...")
             gk = {"max_new_tokens": 128, "language": "en"}
-            asr.transcribe_batch(warm, return_timestamps="word",
-                                 generate_kwargs=gk)
-            if asr._reuse_previous:
-                # The first call seeded _prev_gen_tokens; a second one
-                # compiles the proposals=True executable so the first
-                # LIVE tick doesn't pay a cold compile mid-request.
-                asr.transcribe_batch(warm, return_timestamps="word",
+            one = np.zeros(int((config.chunk_length_s - 1) * 16000),
+                           np.float32)
+            # Warm every batch bucket the coalescer can produce (up to
+            # BatchedTranscriber's max_batch=8): the first multi-session
+            # tick would otherwise pay a minutes-long cold compile while
+            # holding session locks.
+            for nb in (1, 2, 4, 8):
+                asr.transcribe_batch([one] * nb, return_timestamps="word",
                                      generate_kwargs=gk)
+                if asr._reuse_previous:
+                    # Immediately repeat at the SAME size: the first call
+                    # seeded _prev_gen_tokens for this batch shape, the
+                    # second compiles the proposals=True executable so the
+                    # first LIVE tick doesn't compile mid-request.
+                    asr.transcribe_batch([one] * nb, return_timestamps="word",
+                                         generate_kwargs=gk)
             print("Warmup done")
 
         transcriber = BatchedTranscriber(asr)

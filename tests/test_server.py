@@ -162,6 +162,44 @@ def test_batched_transcriber_coalesces():
     assert w["start"] == 10.0 and w["end"] == 11.0
 
 
+def test_session_bounds_and_eviction():
+    """Abandoned sessions expire (TTL) and the table is LRU-bounded."""
+    manager = SessionManager(lambda: FakeBackend(), chunk_length_s=4,
+                             use_vad=False, max_sessions=3,
+                             session_ttl_s=1000.0)
+    sids = [manager.create() for _ in range(3)]
+    assert manager.n_sessions == 3
+    # Touch the newer two; creating a 4th evicts the least-recently-used.
+    manager.process(sids[1])
+    manager.process(sids[2])
+    s4 = manager.create()
+    assert manager.n_sessions <= 3
+    import pytest as _pytest
+
+    from thewhisper_tpu.server.http import SessionNotFound
+
+    with _pytest.raises(SessionNotFound):
+        manager.process(sids[0])
+    manager.process(s4)                       # survivor works
+    # TTL expiry: backdate every session, next create sweeps them.
+    manager.session_ttl_s = 0.0
+    manager._last_seen = {k: -1e9 for k in manager._last_seen}
+    manager.create()
+    assert manager.n_sessions == 1
+
+
+def test_malformed_base64_fails_loudly(server):
+    import httpx
+
+    base = f"http://127.0.0.1:{server.port}"
+    sid = httpx.post(f"{base}/session/create/").json()["session_id"]
+    # '%' is not in the base64 alphabet: must be a 500, not silently
+    # bit-shifted into garbage audio with status "success".
+    r = httpx.post(f"{base}/session/{sid}/add_chunk",
+                   params={"audio_data": "ab%cd=="})
+    assert r.status_code == 500
+
+
 def test_stats_endpoint(server):
     import httpx
 

@@ -86,6 +86,57 @@ def test_stdout_stream_rendering():
     assert "".join(line) == " hello world"
 
 
+def test_stdout_stream_colored_words_replay():
+    """ANSI-colored words (examples/run_streaming.py): the backspace diff
+    must count VISIBLE columns, or the cursor walks into committed text
+    and erases it (round-2 review finding). Replay with a zero-width-SGR
+    terminal model and check the final visible line."""
+    import re
+
+    G, Y, R = "\x1b[32m", "\x1b[33m", "\x1b[0m"
+
+    def cw(*texts, color=G):
+        return [{"text": color + t + R} for t in texts]
+
+    buf = io.StringIO()
+    out = StdoutStream(file=buf)
+    out.write(cw(" hello"), cw(" wax", color=Y))
+    out.write(cw(), cw(" world", color=Y))     # assumption rewritten
+    out.write(cw(" world"), cw(" tail", color=Y))  # commit + new tail
+    out.close()
+    text = buf.getvalue()
+
+    sgr = re.compile(r"\x1b\[[0-9;]*m")
+    line, cur = [], 0
+    i = 0
+    while i < len(text):
+        m = sgr.match(text, i)
+        if m:                                   # zero width on screen
+            i = m.end()
+            continue
+        if text.startswith("\x1b[K", i):
+            del line[cur:]
+            i += 3
+            continue
+        if text.startswith("\x1b[?25l", i) or text.startswith("\x1b[?25h", i):
+            i += 6
+            continue
+        ch = text[i]
+        if ch == "\b":
+            cur -= 1
+        elif ch == "\n":
+            break
+        else:
+            if cur < len(line):
+                line[cur] = ch
+            else:
+                line.append(ch)
+            cur += 1
+        i += 1
+    assert cur >= 0, "cursor walked off the left edge"
+    assert "".join(line) == " hello world"
+
+
 def test_stdout_stream_noop_on_empty():
     buf = io.StringIO()
     out = StdoutStream(file=buf)

@@ -143,7 +143,12 @@ class ASRPipeline:
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
 
         gk = dict(generate_kwargs or {})
-        language = gk.pop("language", None) or self.language
+        _MISSING = object()
+        lang_kw = gk.pop("language", _MISSING)
+        # generate_kwargs={"language": None} explicitly requests
+        # auto-detection (HF convention) — `or` would silently force the
+        # pipeline default instead.
+        language = self.language if lang_kw is _MISSING else lang_kw
         max_new_tokens = int(gk.pop("max_new_tokens", 224))
         task = gk.pop("task", "transcribe")
         num_beams = int(gk.pop("num_beams", 1))
@@ -201,7 +206,12 @@ class ASRPipeline:
         otherwise). Returns one ``{"text", "chunks"}`` dict per input.
         """
         gk = dict(generate_kwargs or {})
-        language = gk.pop("language", None) or self.language
+        _MISSING = object()
+        lang_kw = gk.pop("language", _MISSING)
+        # generate_kwargs={"language": None} explicitly requests
+        # auto-detection (HF convention) — `or` would silently force the
+        # pipeline default instead.
+        language = self.language if lang_kw is _MISSING else lang_kw
         max_new_tokens = int(gk.pop("max_new_tokens", 128))
         task = gk.pop("task", "transcribe")
         num_beams = int(gk.pop("num_beams", 1))
@@ -345,7 +355,10 @@ class ASRPipeline:
         if reuse:
             self._prev_gen_tokens = np.asarray(
                 res.tokens[:, res.prompt_len:], np.int32)
-        if not temperatures:
+        # The sampling ladder is greedy-only: with beams the engine forces
+        # temperature back to 0, so every "retry" would be the identical
+        # beam decode — wasted full decodes per failed window.
+        if not temperatures or opts.num_beams != 1:
             return res
         for step, t in enumerate(t for t in temperatures if t > 0.0):
             failed = [i for i in range(audio.shape[0])
@@ -379,8 +392,10 @@ class ASRPipeline:
                        token_logprobs: Optional[List[float]] = None):
         out: Dict[str, Any] = {"text": self._decode(tokens)}
         if want_words:
+            # text.NO_SPACE_LANGUAGES accepts raw codes ("zh", "ja", ...)
+            # directly — no code->name mapping to keep in sync.
             words, _, indices = combine_tokens_into_words(
-                self._decode, tokens, language=_full_language_name(language),
+                self._decode, tokens, language=language,
                 special_id=self.engine.special.eot,
             )
             chunks = []
@@ -437,16 +452,6 @@ def _pad_stack(windows: Sequence[np.ndarray], win: int) -> np.ndarray:
         # fail loudly rather than silently dropping audio.
         out[i, : len(w)] = w
     return out
-
-
-_LANG_NAMES = {
-    "zh": "chinese", "ja": "japanese", "th": "thai", "lo": "lao",
-    "my": "myanmar", "yue": "cantonese",
-}
-
-
-def _full_language_name(code: str) -> str:
-    return _LANG_NAMES.get(code, code)
 
 
 def _try_load_hf_tokenizer(path: str):

@@ -24,6 +24,7 @@ import os
 import secrets
 import signal
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable, Dict, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
@@ -34,19 +35,48 @@ from thewhisper_tpu.config import ServerConfig
 from thewhisper_tpu.streaming.pipeline import StreamingPipeline, TranscriptionBackend
 
 
+class SessionNotFound(KeyError):
+    """Unknown/expired session id — the only KeyError the handler maps
+    to 404 (internal KeyErrors must surface as 500s)."""
+
+
 class SessionManager:
-    """Per-session streaming pipelines over a shared backend factory."""
+    """Per-session streaming pipelines over a shared backend factory.
+
+    Bounded: sessions idle longer than ``session_ttl_s`` are evicted, and
+    at ``max_sessions`` the least-recently-used one is dropped — abandoned
+    clients (crashed before ``/end``) no longer leak pipeline state
+    (ring buffer, VAD state, history) forever.
+    """
 
     def __init__(self, backend_factory: Callable[[], TranscriptionBackend],
                  chunk_length_s: int = 10, use_vad: bool = True,
-                 min_process_chunk_s: float = 0.5):
+                 min_process_chunk_s: float = 0.5,
+                 max_sessions: int = 64, session_ttl_s: float = 600.0):
         self.backend_factory = backend_factory
         self.chunk_length_s = chunk_length_s
         self.use_vad = use_vad
         self.min_process_chunk_s = min_process_chunk_s
+        self.max_sessions = max_sessions
+        self.session_ttl_s = session_ttl_s
         self._sessions: Dict[str, StreamingPipeline] = {}
         self._locks: Dict[str, threading.Lock] = {}
+        self._last_seen: Dict[str, float] = {}
         self._global = threading.Lock()
+
+    def _evict_locked(self) -> None:
+        now = time.monotonic()
+        expired = [sid for sid, t in self._last_seen.items()
+                   if now - t > self.session_ttl_s]
+        for sid in expired:
+            self._sessions.pop(sid, None)
+            self._locks.pop(sid, None)
+            self._last_seen.pop(sid, None)
+        while len(self._sessions) >= self.max_sessions:
+            oldest = min(self._last_seen, key=self._last_seen.get)
+            self._sessions.pop(oldest, None)
+            self._locks.pop(oldest, None)
+            self._last_seen.pop(oldest, None)
 
     def create(self) -> str:
         session_id = secrets.token_urlsafe(16)
@@ -57,16 +87,20 @@ class SessionManager:
             use_vad=self.use_vad,
         )
         with self._global:
+            self._evict_locked()
             self._sessions[session_id] = pipe
             self._locks[session_id] = threading.Lock()
+            self._last_seen[session_id] = time.monotonic()
         return session_id
 
     def _get(self, session_id: str) -> Tuple[StreamingPipeline, threading.Lock]:
         with self._global:
             pipe = self._sessions.get(session_id)
             lock = self._locks.get(session_id)
+            if pipe is not None:
+                self._last_seen[session_id] = time.monotonic()
         if pipe is None:
-            raise KeyError(session_id)
+            raise SessionNotFound(session_id)
         return pipe, lock
 
     def add_chunk(self, session_id: str, audio: np.ndarray) -> None:
@@ -88,11 +122,13 @@ class SessionManager:
         with self._global:
             self._sessions.pop(session_id, None)
             self._locks.pop(session_id, None)
+            self._last_seen.pop(session_id, None)
 
     def cleanup(self) -> None:
         with self._global:
             self._sessions.clear()
             self._locks.clear()
+            self._last_seen.clear()
 
     @property
     def n_sessions(self) -> int:
@@ -178,7 +214,7 @@ def _make_handler(manager: SessionManager):
                         self._send(404, {"detail": "unknown action"})
                     return
                 self._send(404, {"detail": "not found"})
-            except KeyError as e:
+            except SessionNotFound as e:
                 self._send(404, {"detail": f"Session {e.args[0]} not found"})
             except Exception as e:  # parity: reference returns 500 + detail
                 self._send(500, {"detail": str(e)})
@@ -198,7 +234,12 @@ def _make_handler(manager: SessionManager):
                     b64 = None
             if not b64:
                 raise ValueError("audio_data missing")
-            return np.frombuffer(base64.b64decode(b64), dtype=np.float32)
+            # parse_qs turns an unescaped '+' into ' '; map it back and
+            # validate so corrupted payloads fail loudly instead of
+            # bit-shifting into garbage audio with status "success".
+            b64 = b64.replace(" ", "+")
+            return np.frombuffer(
+                base64.b64decode(b64, validate=True), dtype=np.float32)
 
     return Handler
 

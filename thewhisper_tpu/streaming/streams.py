@@ -14,6 +14,7 @@ Parity with reference ``streaming/streams.py``:
 
 from __future__ import annotations
 
+import re
 import sys
 import threading
 import time
@@ -157,15 +158,37 @@ class StdoutStream:
         self._on_screen = ""
         self._out.write("\x1b[?25l")            # hide cursor while live
 
+    _ANSI = re.compile(r"\x1b\[[0-9;]*[A-Za-z]")
+
+    @classmethod
+    def _visible_len(cls, s: str) -> int:
+        """Terminal columns occupied: ANSI escapes take zero."""
+        return len(cls._ANSI.sub("", s))
+
     def _repaint(self, target: str) -> None:
-        """Morph the terminal line from ``self._on_screen`` to ``target``."""
+        """Morph the terminal line from ``self._on_screen`` to ``target``.
+
+        ANSI-aware: callers color words (green committed / yellow
+        assumption, examples/run_streaming.py), so the backspace count
+        uses VISIBLE length — counting escape bytes as columns walked the
+        cursor back into committed text and erased it. The diff point
+        also snaps back out of any escape sequence it lands inside.
+        """
         keep = 0
         limit = min(len(self._on_screen), len(target))
         while keep < limit and self._on_screen[keep] == target[keep]:
             keep += 1
+        # Never split an escape sequence: back up to the ESC that opened
+        # the sequence containing position `keep`, if any.
+        esc = self._on_screen.rfind("\x1b", 0, keep)
+        if esc != -1:
+            m = self._ANSI.match(self._on_screen, esc)
+            if m and m.end() > keep:
+                keep = esc
         if len(self._on_screen) > keep:
-            self._out.write("\b" * (len(self._on_screen) - keep)
-                            + self._clear_eol)
+            self._out.write(
+                "\b" * self._visible_len(self._on_screen[keep:])
+                + self._clear_eol)
         self._out.write(target[keep:])
         self._on_screen = target
         self._out.flush()
