@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--language", default="en")
     ap.add_argument("--max-new-tokens", type=int, default=224)
     ap.add_argument("--cpu", action="store_true", help="force CPU JAX")
+    ap.add_argument("--srt", default=None, metavar="PATH",
+                    help="also write subtitles (.srt or .vtt by extension)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -64,6 +66,11 @@ def main():
     print(result["text"])
     print()
     print(json.dumps(result["chunks"], indent=2, default=str))
+    if args.srt:
+        from thewhisper_tpu.utils.subtitles import write_subtitles
+
+        write_subtitles(args.srt, result.get("chunks", []))
+        print(f"\n[subtitles written to {args.srt}]")
     print(f"\n[transcribed in {dt:.2f}s]")
 
 
