@@ -14,8 +14,11 @@ function loadDotEnv() {
   const envPath = path.join(__dirname, ".env");
   if (!fs.existsSync(envPath)) return;
   for (const line of fs.readFileSync(envPath, "utf8").split("\n")) {
-    const m = line.match(/^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*)\s*$/);
-    if (m && !(m[1] in process.env)) process.env[m[1]] = m[2];
+    // trim() the captured value: the greedy (.*) keeps trailing CR from
+    // CRLF-saved files (and trailing spaces), which corrupted every URL
+    // and the injected CSP header built from it.
+    const m = line.match(/^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*)$/);
+    if (m && !(m[1] in process.env)) process.env[m[1]] = m[2].trim();
   }
 }
 loadDotEnv();
@@ -64,4 +67,8 @@ ipcMain.on("renderer-log", (_event, level, message) => {
 app.whenReady().then(createWindow);
 app.on("window-all-closed", () => {
   if (process.platform !== "darwin") app.quit();
+});
+app.on("activate", () => {
+  // macOS: the app outlives its window; the dock icon must reopen one.
+  if (BrowserWindow.getAllWindows().length === 0) createWindow();
 });

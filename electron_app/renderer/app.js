@@ -63,14 +63,19 @@ async function sendChunk(frame) {
   if (!state.sessionId) return;
   const base = state.config.backendUrl;
   const audioData = encodeURIComponent(b64FromFloat32(frame));
-  try {
-    await fetch(
-      `${base}/session/${state.sessionId}/add_chunk?audio_data=${audioData}`,
-      { method: "POST" }
-    );
-  } catch (err) {
-    log("warn", `add_chunk failed: ${err}`);
-  }
+  // One-deep send queue: chunks MUST reach the ring buffer in capture
+  // order, but the browser pools connections — a stalled request could
+  // let a later frame's POST land first, garbling the audio stream.
+  state.sendQueue = (state.sendQueue || Promise.resolve()).then(async () => {
+    try {
+      await fetch(
+        `${base}/session/${state.sessionId}/add_chunk?audio_data=${audioData}`,
+        { method: "POST" }
+      );
+    } catch (err) {
+      log("warn", `add_chunk failed: ${err}`);
+    }
+  });
 }
 
 function renderWords(committedWords, uncommittedWords) {
@@ -91,6 +96,12 @@ function renderWords(committedWords, uncommittedWords) {
 
 async function poll() {
   if (!state.sessionId || !state.running) return;
+  // Never overlap polls: /process returns INCREMENTAL committed words,
+  // and two in-flight requests resolving out of order would append them
+  // to the transcript permanently scrambled (server tick p95 can exceed
+  // the 100 ms poll interval).
+  if (state.polling) return;
+  state.polling = true;
   const base = state.config.backendUrl;
   try {
     const resp = await fetch(`${base}/session/${state.sessionId}/process`, {
@@ -102,6 +113,8 @@ async function poll() {
     }
   } catch (err) {
     log("warn", `process failed: ${err}`);
+  } finally {
+    state.polling = false;
   }
 }
 
@@ -109,41 +122,60 @@ async function start() {
   if (state.running) return;
   state.running = true;
   el("startBtn").disabled = true;
+  // Stop is live immediately so the retry-forever session create (and
+  // any later failure) can always be cancelled from the UI.
+  el("stopBtn").disabled = false;
   setStatus("connecting...", "warn");
 
-  state.config = await window.clientBridge.getConfig();
-  state.sessionId = await createSessionWithRetry();
-  setStatus("listening", "ok");
+  try {
+    state.config = await window.clientBridge.getConfig();
+    state.sessionId = await createSessionWithRetry();
+    setStatus("listening", "ok");
 
-  state.mediaStream = await navigator.mediaDevices.getUserMedia({
-    audio: {
-      channelCount: 1,
-      sampleRate: 16000,
-      echoCancellation: true,
-      noiseSuppression: true,
-    },
-  });
-  state.audioContext = new AudioContext({ sampleRate: 16000 });
-  await state.audioContext.audioWorklet.addModule("audio-processor.js");
-  const source = state.audioContext.createMediaStreamSource(state.mediaStream);
-  const frameSize = Math.round(
-    state.audioContext.sampleRate * state.config.stepSizeS
-  );
-  state.workletNode = new AudioWorkletNode(state.audioContext, "frame-capture", {
-    processorOptions: { frameSize },
-  });
-  state.workletNode.port.onmessage = (ev) => sendChunk(ev.data);
-  source.connect(state.workletNode);
+    state.mediaStream = await navigator.mediaDevices.getUserMedia({
+      audio: {
+        channelCount: 1,
+        sampleRate: 16000,
+        echoCancellation: true,
+        noiseSuppression: true,
+      },
+    });
+    state.audioContext = new AudioContext({ sampleRate: 16000 });
+    await state.audioContext.audioWorklet.addModule("audio-processor.js");
+    const source = state.audioContext.createMediaStreamSource(
+      state.mediaStream
+    );
+    const frameSize = Math.round(
+      state.audioContext.sampleRate * state.config.stepSizeS
+    );
+    state.workletNode = new AudioWorkletNode(
+      state.audioContext,
+      "frame-capture",
+      { processorOptions: { frameSize } }
+    );
+    state.workletNode.port.onmessage = (ev) => sendChunk(ev.data);
+    source.connect(state.workletNode);
 
-  state.pollTimer = setInterval(poll, state.config.pollIntervalMs);
-  el("stopBtn").disabled = false;
+    state.pollTimer = setInterval(poll, state.config.pollIntervalMs);
+  } catch (err) {
+    // Mic denied / worklet load failed / cancelled: tear down and give
+    // the UI back instead of leaving both buttons disabled forever.
+    log("warn", `start failed: ${err}`);
+    setStatus(`start failed: ${err.message || err}`, "warn");
+    await stop();
+  }
 }
 
 async function stop() {
   state.running = false;
   clearInterval(state.pollTimer);
-  if (state.workletNode) state.workletNode.disconnect();
-  if (state.audioContext) await state.audioContext.close();
+  try {
+    if (state.workletNode) state.workletNode.disconnect();
+    if (state.audioContext && state.audioContext.state !== "closed")
+      await state.audioContext.close();
+  } catch (err) {
+    log("warn", `audio teardown: ${err}`);
+  }
   if (state.mediaStream)
     state.mediaStream.getTracks().forEach((t) => t.stop());
   if (state.sessionId) {

@@ -184,9 +184,19 @@ def make_vad(kind: str = "auto", sample_rate: int = 16000):
     if kind in ("silero", "auto"):
         path = os.environ.get("SILERO_VAD_JIT", "")
         if path and os.path.exists(path):
-            import torch
+            try:
+                import torch
 
-            return _SileroWrapper(torch.jit.load(path))
+                return _SileroWrapper(torch.jit.load(path))
+            except Exception as e:
+                # "auto" degrades per its contract (missing torch, corrupt
+                # file); the explicit kind still fails loudly.
+                if kind == "silero":
+                    raise
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "SILERO_VAD_JIT set but unusable (%s); falling back", e)
         if kind == "silero":
             raise FileNotFoundError(
                 "Silero VAD requested but SILERO_VAD_JIT not set/found")

@@ -100,8 +100,11 @@ def init_distill_state(student, learning_rate: float = 1e-4,
     # (embedding, norms) with the teacher, and the donated train-step
     # state must never alias the teacher argument (XLA rejects a buffer
     # that is both donated and read: `f(donate(a), a)`).
+    from thewhisper_tpu.training.train import decay_mask
+
     student = jax.tree.map(jnp.array, student)
-    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay,
+                     mask=decay_mask)
     return DistillState(student, tx.init(student), jnp.int32(0)), tx
 
 

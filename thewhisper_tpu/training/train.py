@@ -69,11 +69,19 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], arch: WhisperArch,
         logits, batch["tokens"][:, 1:], batch["loss_mask"][:, 1:])
 
 
+def decay_mask(params) -> Any:
+    """Standard AdamW practice: decay matmul weights only — LayerNorm
+    scales/biases and other 1-D params must not be pulled toward zero
+    (doing so perturbs pretrained normalization statistics)."""
+    return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
+
+
 def init_train_state(params, learning_rate: float = 1e-5,
                      weight_decay: float = 0.01) -> Tuple[TrainState, Any]:
     """Build (state, tx). Shard ``params`` onto the mesh FIRST so the
     optimizer moments inherit the same shardings."""
-    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay,
+                     mask=decay_mask)
     return TrainState(params, tx.init(params), jnp.int32(0)), tx
 
 

@@ -156,11 +156,13 @@ def main():
     print(f"wrote {args.out} "
           f"({sum(v.size for v in out.values())} params)")
 
-    # Quick held-out check with the numpy inference path.
+    # Quick held-out check with the numpy inference path — on the
+    # JUST-TRAINED weights (a bare NeuralVAD() would load the SHIPPED
+    # file and silently validate the wrong model when --out differs).
     from thewhisper_tpu.streaming.vad import NeuralVAD
     from thewhisper_tpu.streaming.vad_corpus import WINDOW, corpus
 
-    vad = NeuralVAD()
+    vad = NeuralVAD(params=out)
     tp = fp = fn = tn = 0
     for audio, labels, mask in corpus(args.seed + 999, 60):
         vad.reset_states()
