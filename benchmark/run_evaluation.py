@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--noise-dir", default=None, help="MUSAN-style noise dir")
     ap.add_argument("--snr-db", type=float, default=None)
     ap.add_argument("--results", default="results/eval.json")
+    ap.add_argument("--draft", default=None,
+                    help='speculative decoding: "ngram", "layer-skip:N", '
+                         "or a draft checkpoint/.npz (greedy-exact)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -66,6 +69,7 @@ def main():
         model_size=None if args.model_size == "eager" else args.model_size,
         chunk_length_s=args.chunk_length,
         batch_size=args.batch_size,
+        draft=args.draft,
     )
 
     noise_bank = (data_utils.NoiseBank(args.noise_dir)

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU JAX")
     ap.add_argument("--srt", default=None, metavar="PATH",
                     help="also write subtitles (.srt or .vtt by extension)")
+    ap.add_argument("--draft", default=None,
+                    help='speculative decoding: "ngram", "layer-skip:N", '
+                         "or a draft checkpoint/.npz (greedy-exact)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -48,6 +51,7 @@ def main():
         model_size=args.model_size,
         chunk_length_s=args.chunk_length,
         language=args.language,
+        draft=args.draft,
     )
 
     t0 = time.perf_counter()
