@@ -193,10 +193,12 @@ def test_gibberish_filter():
     assert compression_ratio("abcdefgh12345") < 2.2
 
 
-def test_long_stream_soak_with_vad_and_real_model(tmp_path_factory):
-    """60 s of alternating speech/silence through EnergyVAD + tiny model:
+@pytest.mark.parametrize("reuse", [False, True])
+def test_long_stream_soak_with_vad_and_real_model(tmp_path_factory, reuse):
+    """60 s of alternating speech/silence through the VAD + tiny model:
     the full streaming stack (VAD gating, trims, commits, gibberish
-    filtering) stays consistent over a long session."""
+    filtering) stays consistent over a long session — with and without
+    cross-tick speculative reuse (the production streaming speedup)."""
     import sys
 
     sys.path.insert(0, "tools")
@@ -207,9 +209,10 @@ def test_long_stream_soak_with_vad_and_real_model(tmp_path_factory):
     from thewhisper_tpu.pipeline import ASRPipeline
     from thewhisper_tpu.streaming.pipeline import LocalWhisperBackend
 
-    ckpt = tmp_path_factory.mktemp("soak") / "tiny"
+    ckpt = tmp_path_factory.mktemp("soak") / f"tiny-{int(reuse)}"
     make_checkpoint(str(ckpt), seed=0)
-    asr = ASRPipeline(str(ckpt), chunk_length_s=10, compute_dtype=jnp.float32)
+    asr = ASRPipeline(str(ckpt), chunk_length_s=10, compute_dtype=jnp.float32,
+                      reuse_previous_tokens=reuse)
     backend = LocalWhisperBackend(asr, chunk_length_s=10, max_new_tokens=8)
 
     sp = StreamingPipeline(backend=backend, chunk_length_s=10, use_vad=True)
