@@ -523,13 +523,24 @@ class WhisperEngine:
         return codes, probs[np.arange(b), idx]
 
     def warmup(self, t_mel: int, batches: Sequence[int] = (1,),
-               max_new_tokens: int = 128, timestamps: bool = True) -> None:
-        """Pre-compile executables for the given buckets."""
+               max_new_tokens: int = 128, timestamps: bool = True,
+               proposals: bool = False) -> None:
+        """Pre-compile executables for the given buckets.
+
+        ``proposals=True`` additionally compiles the proposal-token
+        speculative variants (``draft_tokens=...`` calls — the cross-tick
+        streaming path) so the first live request never pays a cold
+        compile.
+        """
         for b in batches:
             opts = GenerationOptions(
                 max_new_tokens=max_new_tokens, return_timestamps=timestamps)
             mel = np.zeros((b, self.arch.n_mels, t_mel), np.float32)
             self.transcribe_features(mel, opts)
+            if proposals:
+                self.transcribe_features(
+                    mel, opts,
+                    draft_tokens=np.zeros((b, max_new_tokens), np.int32))
 
     @staticmethod
     def from_checkpoint(
