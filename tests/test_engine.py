@@ -200,3 +200,19 @@ def test_engine_suppress_tokens(tiny):
     res2 = eng.transcribe_features(mel, opts)
     gen2 = res2.tokens[0, res2.prompt_len:res2.prompt_len + res2.num_generated[0]]
     assert banned not in gen2.tolist()
+
+
+def test_bucket_padding_stays_on_device():
+    """Bucket padding of a device-resident input must not round-trip
+    through numpy (tunnel RTT per call on remote TPUs, round-2 advisory)."""
+    import jax
+    import jax.numpy as jnp
+
+    from thewhisper_tpu.engine.engine import _pad_batch
+
+    dev = jnp.ones((3, 5), jnp.float32)
+    out = _pad_batch(dev, 4)
+    assert isinstance(out, jax.Array) and out.shape == (4, 5)
+    assert float(out[3].sum()) == 0.0
+    host = _pad_batch(np.ones((3, 5), np.float32), 4)
+    assert isinstance(host, np.ndarray) and host.shape == (4, 5)

@@ -277,3 +277,37 @@ def test_concurrent_sessions_with_real_model(tmp_path_factory):
     finally:
         srv.shutdown()
         transcriber.close()
+
+
+def test_eviction_skips_active_sessions():
+    """LRU eviction must not drop a session a request thread is inside
+    (its lock held); with every session active, create() -> ServerFull
+    (mapped to 503) instead of 404ing a live stream (round-2 advisory)."""
+    from thewhisper_tpu.server.http import ServerFull
+
+    manager = SessionManager(lambda: FakeBackend(), chunk_length_s=4,
+                             use_vad=False, max_sessions=2,
+                             session_ttl_s=1000.0)
+    s1 = manager.create()
+    s2 = manager.create()
+    # s1 is LRU but "active": hold its per-session lock like a request
+    # thread mid-process would.
+    lock1 = manager._locks[s1]
+    lock1.acquire()
+    try:
+        s3 = manager.create()       # must evict s2, NOT the active s1
+        assert s1 in manager._sessions
+        assert s2 not in manager._sessions
+        # All remaining sessions active -> capacity error, no eviction.
+        manager._locks[s3].acquire()
+        try:
+            with pytest.raises(ServerFull):
+                manager.create()
+            assert s1 in manager._sessions and s3 in manager._sessions
+        finally:
+            manager._locks[s3].release()
+    finally:
+        lock1.release()
+    # With s1 idle again, creation succeeds by evicting LRU.
+    manager.create()
+    assert manager.n_sessions == 2

@@ -143,3 +143,20 @@ def test_stdout_stream_noop_on_empty():
     before = buf.getvalue()
     out.write([], [])
     assert buf.getvalue() == before
+
+
+def test_stdout_stream_wide_glyph_backspaces():
+    """CJK glyphs occupy two terminal columns: the backspace count after a
+    diverging tail must be column-accurate or the cursor walks into
+    committed text (round-2 advisory). '好' is wide -> erasing it takes
+    two backspaces."""
+    assert StdoutStream._visible_len("你好") == 4
+    assert StdoutStream._visible_len("\x1b[32m你\x1b[0ma") == 3
+    buf = io.StringIO()
+    out = StdoutStream(file=buf)
+    out.write(_words("你"), _words("好"))
+    start = len(buf.getvalue())
+    out.write(_words(), _words("嗨"))          # rewrite the wide tail
+    tail = buf.getvalue()[start:]
+    assert tail.startswith("\b\b\x1b[K")        # two columns backed over
+    assert tail.endswith("嗨")

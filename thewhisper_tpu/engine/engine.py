@@ -63,6 +63,19 @@ def _bucket_batch(b: int, buckets: Sequence[int]) -> int:
     return b
 
 
+def _pad_batch(x, bb: int):
+    """Zero-pad the batch dim to bucket size ``bb`` without leaving the
+    device: a device-resident input round-tripped through numpy would pay
+    the tunnel RTT (~25 ms) it was device-put to avoid — this hit every
+    final short chunk of the windowed pipeline's language-detect path."""
+    if isinstance(x, jax.Array):
+        return jnp.concatenate(
+            [x, jnp.zeros((bb - x.shape[0], *x.shape[1:]), x.dtype)], axis=0)
+    x = np.asarray(x, np.float32)
+    return np.concatenate(
+        [x, np.zeros((bb - x.shape[0], *x.shape[1:]), np.float32)], axis=0)
+
+
 class WhisperEngine:
     """Jitted Whisper inference with static shape buckets.
 
@@ -395,9 +408,7 @@ class WhisperEngine:
         b = mel.shape[0]
         bb = _bucket_batch(b, self.batch_buckets)
         if bb != b:
-            mel = np.concatenate(
-                [np.asarray(mel, np.float32),
-                 np.zeros((bb - b, *mel.shape[1:]), np.float32)], axis=0)
+            mel = _pad_batch(mel, bb)
 
         prompt_arr = jnp.asarray(self._prompt_rows(options, bb, languages))
         p = prompt_arr.shape[1]
@@ -444,11 +455,7 @@ class WhisperEngine:
         b = audio.shape[0]
         bb = _bucket_batch(b, self.batch_buckets)
         if bb != b:
-            # Padding pulls device arrays to host; callers on the hot path
-            # should pass exact-bucket batches.
-            audio = np.concatenate(
-                [np.asarray(audio, np.float32),
-                 np.zeros((bb - b, audio.shape[1]), np.float32)], axis=0)
+            audio = _pad_batch(audio, bb)
 
         prompt_arr = jnp.asarray(self._prompt_rows(options, bb, languages))
         p = prompt_arr.shape[1]
@@ -512,9 +519,7 @@ class WhisperEngine:
         b = mel.shape[0]
         bb = _bucket_batch(b, self.batch_buckets)
         if bb != b:
-            mel = np.concatenate(
-                [np.asarray(mel, np.float32),
-                 np.zeros((bb - b, *mel.shape[1:]), np.float32)], axis=0)
+            mel = _pad_batch(mel, bb)
         fn = self._detect_language_fn(bb, mel.shape[-1])
         probs = np.asarray(fn(self.params, jnp.asarray(mel)))[:b]
         idx = probs.argmax(-1)

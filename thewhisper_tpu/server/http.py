@@ -40,6 +40,12 @@ class SessionNotFound(KeyError):
     to 404 (internal KeyErrors must surface as 500s)."""
 
 
+class ServerFull(RuntimeError):
+    """Session table is full of ACTIVE sessions (every candidate victim's
+    lock is held by a request thread) — mapped to 503 so the client gets a
+    capacity signal instead of a silently-evicted live session."""
+
+
 class SessionManager:
     """Per-session streaming pipelines over a shared backend factory.
 
@@ -73,7 +79,15 @@ class SessionManager:
             self._locks.pop(sid, None)
             self._last_seen.pop(sid, None)
         while len(self._sessions) >= self.max_sessions:
-            oldest = min(self._last_seen, key=self._last_seen.get)
+            # LRU victim — but never a session a request thread is inside
+            # (its per-session lock is held): evicting one mid-request
+            # turned a live stream into 404s with no capacity signal.
+            idle = [sid for sid in self._last_seen
+                    if not self._locks[sid].locked()]
+            if not idle:
+                raise ServerFull(
+                    f"all {self.max_sessions} sessions are active")
+            oldest = min(idle, key=self._last_seen.get)
             self._sessions.pop(oldest, None)
             self._locks.pop(oldest, None)
             self._last_seen.pop(oldest, None)
@@ -216,6 +230,8 @@ def _make_handler(manager: SessionManager):
                 self._send(404, {"detail": "not found"})
             except SessionNotFound as e:
                 self._send(404, {"detail": f"Session {e.args[0]} not found"})
+            except ServerFull as e:
+                self._send(503, {"detail": str(e)})
             except Exception as e:  # parity: reference returns 500 + detail
                 self._send(500, {"detail": str(e)})
 

@@ -162,8 +162,14 @@ class StdoutStream:
 
     @classmethod
     def _visible_len(cls, s: str) -> int:
-        """Terminal columns occupied: ANSI escapes take zero."""
-        return len(cls._ANSI.sub("", s))
+        """Terminal columns occupied: ANSI escapes take zero, East-Asian
+        wide/fullwidth glyphs (CJK transcripts) take two — a flat
+        one-column assumption under-counted backspaces and walked the
+        cursor into committed text, the failure the ANSI fix targets."""
+        import unicodedata
+
+        return sum(2 if unicodedata.east_asian_width(ch) in ("W", "F") else 1
+                   for ch in cls._ANSI.sub("", s))
 
     def _repaint(self, target: str) -> None:
         """Morph the terminal line from ``self._on_screen`` to ``target``.
