@@ -11,6 +11,7 @@ text is rejected (falling back to the baseline hypothesis) when
 
 from __future__ import annotations
 
+import json
 from typing import Callable, Optional, Tuple
 
 from thewhisper_tpu.utils.wer import edit_stats
@@ -29,6 +30,45 @@ Reply with ONLY the corrected transcription.
 TRANSCRIPTION:
 {hyp}
 """
+
+
+def load_optimized_program(path: str) -> str:
+    """Load a dspy-MIPROv2 program export as a ``safe_correct`` template.
+
+    The reference ships six per-language optimized programs
+    (``asr_postprocess/experiments/opt_trb/prompts/optimized_program_*.json``,
+    consumed by its ``apply_correction.py``); a user migrating with those
+    artifacts plugs them straight in here. Export layout:
+    ``signature.instructions`` (the optimized instruction),
+    ``signature.fields`` (prompt prefixes, e.g. "Hypotheses:" /
+    "Corrected Transcription:"), and ``demos`` (bootstrapped few-shot
+    pairs with ``hypotheses`` / ``corrected_transcription``). Rendered in
+    dspy's completion style: instruction, demos as prefix-labelled
+    input/output blocks, then the live hypothesis under the input prefix
+    with the output prefix left open for the LLM.
+    """
+    with open(path, encoding="utf-8") as f:
+        prog = json.load(f)
+    sig = prog.get("signature") or {}
+    instructions = (sig.get("instructions") or CORRECTION_PROMPT).strip()
+    fields = sig.get("fields") or []
+    in_prefix = fields[0]["prefix"] if len(fields) > 0 else "Hypotheses:"
+    out_prefix = (fields[1]["prefix"] if len(fields) > 1
+                  else "Corrected Transcription:")
+
+    def esc(t: str) -> str:   # the template goes through str.format({hyp})
+        return t.replace("{", "{{").replace("}", "}}")
+
+    parts = [esc(instructions), ""]
+    for d in prog.get("demos") or []:
+        hyp = (d.get("hypotheses") or d.get("hyp") or "").strip()
+        ref = (d.get("corrected_transcription") or d.get("ref") or "").strip()
+        if not hyp or not ref:
+            continue
+        parts += [f"{esc(in_prefix)} {esc(hyp)}",
+                  f"{esc(out_prefix)} {esc(ref)}", ""]
+    parts += [f"{esc(in_prefix)} {{hyp}}", esc(out_prefix)]
+    return "\n".join(parts)
 
 
 def word_edit_count(a: str, b: str) -> int:

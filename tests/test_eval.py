@@ -53,34 +53,42 @@ def test_english_normalizer():
     assert n("three thousand two hundred") == "3200"
     assert n("the first time") == "the 1st time"
     assert n("Uh, hello um world") == "hello world"
-    assert n("100% of $5") == "100 percent of 5 dollars"
+    assert n("100% of $5") == "100% of $5"
 
 
 def test_english_normalizer_numbers_full():
-    """num2words-grade coverage (VERDICT weak #5): hyphenated compounds,
-    'a hundred', compound ordinals, minus, decimal multipliers, currency."""
+    """Leaderboard-exact coverage (round-2 review #5): hyphenated
+    compounds, 'a hundred' with the article kept, compound ordinals,
+    minus, decimal multipliers, currency in SYMBOL form."""
     n = EnglishTextNormalizer()
     assert n("twenty-two dogs") == "22 dogs"
-    assert n("a hundred people") == "100 people"
-    assert n("a thousand and one nights") == "1001 nights"
+    assert n("a hundred people") == "a 100 people"
+    assert n("a thousand and one nights") == "a 1001 nights"
     assert n("the twenty-first century") == "the 21st century"
     assert n("his thirty third birthday") == "his 33rd birthday"
-    assert n("one hundredth of a second") == "100th of a second"
+    assert n("one hundredth of a second") == "100th of a 2nd"
     assert n("minus five degrees") == "-5 degrees"
-    assert n("three point five million dollars") == "3500000 dollars"
+    assert n("three point five million dollars") == "$3500000"
     assert n("point is moot") == "point is moot"
     assert n("two point oh") == "2.0"
     assert n("fifty thousand") == "50000"
     assert n("seven hundred and eighty-nine") == "789"
-    assert n("two dollars") == "2 dollars"
-    assert n("$2.50") == "2.50 dollars"
-    # Spoken dollars-and-cents converges with the written decimal form
-    # (leaderboard combine_cents semantics; a round-2 review found the
-    # forms diverging and inflating WER on currency-heavy sets).
-    assert n("two dollars and fifty cents") == "2.50 dollars"
-    assert n("two dollars and five cents") == "2.05 dollars"
-    assert n("fifty cents") == "50 cents"
-    assert n("five pounds") == "5 pounds"
+    # Year-style concatenation (whisper digit-string semantics).
+    assert n("nineteen eighty four") == "1984"
+    assert n("twenty twenty") == "2020"
+    assert n("nineteen oh five") == "1905"
+    assert n("double oh seven") == "007"
+    # Currency keeps the leaderboard SYMBOL form.
+    assert n("two dollars") == "$2"
+    assert n("$2.50") == "$2.50"
+    assert n("two dollars and fifty cents") == "$2.50"
+    assert n("two dollars and five cents") == "$2.05"
+    assert n("fifty cents") == "¢50"
+    assert n("$0.50") == "¢50"
+    assert n("five pounds") == "£5"
+    assert n("£3") == "£3"
+    assert n("3%") == "3%"
+    assert n("three per cent") == "3%"
     # Standalone "1" is written "one" (leaderboard readability rule).
     assert n("1 of them") == "one of them"
     assert n("one of them") == "one of them"
@@ -329,6 +337,65 @@ def test_manifest_loader(tmp_path):
 def test_english_normalizer_decimals():
     n = EnglishTextNormalizer()
     assert n("three point one four") == "3.14"
-    assert n("twenty two point five percent") == "22.5 percent"
+    assert n("twenty two point five percent") == "22.5%"
     # "point" without a preceding number stays a word.
     assert n("the point is clear") == "the point is clear"
+
+
+def test_english_normalizer_matches_vendored_leaderboard_corpus():
+    """Differential golden test vs the EXACT leaderboard normalizer
+    (transformers vendors whisper's english_normalizer — the same code
+    the Open-ASR-Leaderboard runs; reference pins it via
+    ``asr_postprocess/ml_normalizer.py:1-11``). Round-2 review #5: WERs
+    computed here must be comparable with the reference's published
+    tables, so currency/percent keep the SYMBOL form and number-word runs
+    follow whisper's digit-string concat semantics. Token-sequence
+    equality (WER tokenizes on whitespace). The oracle is built with an
+    empty spelling dict: our generated British->American table applies
+    where the leaderboard would use whisper's english.json, so the corpus
+    below avoids spelling-table words."""
+    pytest.importorskip("transformers")
+    from transformers.models.whisper.english_normalizer import (
+        EnglishTextNormalizer as Vendored,
+    )
+
+    gold, ours = Vendored({}), EnglishTextNormalizer()
+    corpus = [
+        "$2.50", "£3", "3%", "two dollars", "two dollars and fifty cents",
+        "$2", "$0.50", "fifty cents", "3 percent", "three per cent",
+        "I paid $1,000 for it.", "it's 100%", "€5 and ¢75", "one percent",
+        "a 20% tip on $45.50", "3.5 percent", "1%", "twenty-five dollars",
+        "a hundred and five", "three point one four", "twenty first of June",
+        "I won't go, 'cause he can't", "fifty thousand people",
+        "one hundred percent", "hundred people", "It costs £3.99 or €4",
+        "2%", "100 per cent sure", "a thousand times", "a second chance",
+        "the second one", "a million dollars", "1s", "minus three degrees",
+        "nineteen eighty four", "twenty seventeen", "two thousand and one",
+        "he has got a cold", "she's been here", "Dr. Jones and Mrs. Smith",
+        "y'all gonna wanna see this", "seven hundred and seventy seven",
+        "zero point five", "twelve point oh five", "50 thousand",
+        "sixty-six", "1,234,567", "twenty twenty", "nineteen oh five",
+        "two thousand nineteen", "sixty one", "five oh nine",
+        "zero zero seven", "oh seven", "one twenty three", "twelve fifty",
+        "three hundred sixty five", "nineteen hundred", "seven six two",
+        "ten ten", "twenty o three", "one oh one", "thirty thirty",
+        "eleven eleven", "five thousand two hundred", "nine eleven",
+        "two two two", "one hundred and one", "six hundred sixty six",
+        "thousand", "one thousand one", "million", "a million and one",
+        "one", "one dog", "two", "one hundred", "one two", "two one",
+        "one million", "ten", "a one", "number one", "one and two",
+        "no one", "someone", "two point", "ten point two", "negative five",
+        "minus five dollars", "double seven", "triple six",
+        "three quarters", "first", "twenty first", "hundredth",
+        "fifth avenue", "five seconds", "in nineteen sixty-nine",
+        "five oh", "back to square one", "chapter one", "zero tolerance",
+        "double oh seven", "three double five", "one one",
+        "two hundred and five dollars", "one thousand and twenty",
+        "seconds", "thirds", "half a million", "one dollar", "one cent",
+        "percent of people", "a large percentage", "percent",
+        "five pounds of flour", "pounds of flour",
+        "one hundred twenty three thousand four hundred fifty six",
+    ]
+    diffs = [(c, gold(c), ours(c)) for c in corpus
+             if gold(c).split() != ours(c).split()]
+    assert not diffs, diffs

@@ -194,3 +194,71 @@ def test_render_report(tmp_path):
     text = open(path).read()
     assert "corpus WER" in text and "<svg" in text
     assert "dog" in text
+
+
+def test_load_reference_optimized_program(tmp_path):
+    """dspy-MIPROv2 program exports (the reference ships six per-language
+    ones under asr_postprocess/experiments/opt_trb/prompts/) load directly
+    as safe_correct templates — a migrating user's optimized artifacts
+    keep working (round-2 review gap #2)."""
+    import json as _json
+
+    from asr_postprocess.apply_correction import (
+        load_optimized_program,
+        safe_correct,
+    )
+
+    prog = {
+        "traces": [], "train": [],
+        "demos": [
+            {"augmented": True,
+             "hypotheses": " the whether was nice",
+             "corrected_transcription": "The weather was nice"},
+        ],
+        "signature": {
+            "instructions": "You are an expert ASR post-processor. "
+                            "Fix errors, return only the corrected text.",
+            "fields": [
+                {"prefix": "Hypotheses:", "description": "ASR hypothesis"},
+                {"prefix": "Corrected Transcription:",
+                 "description": "corrected text only"},
+            ],
+        },
+        "lm": None,
+        "metadata": {"dependency_versions": {"dspy": "3.1.3"}},
+    }
+    p = tmp_path / "optimized_program_en_test.json"
+    p.write_text(_json.dumps(prog))
+    template = load_optimized_program(str(p))
+    # Instruction, demo pair, and the open-ended live block all render.
+    assert "expert ASR post-processor" in template
+    assert "the whether was nice" in template
+    assert template.rstrip().endswith("Corrected Transcription:")
+    rendered = template.format(hyp="he red a book")
+    assert "Hypotheses: he red a book" in rendered
+
+    seen = {}
+    def fake_llm(prompt):
+        seen["prompt"] = prompt
+        return "he read a book"
+
+    out, leaked, rejected = safe_correct(
+        fake_llm, "he red a book", prompt_template=template)
+    assert out == "he read a book" and not leaked and not rejected
+    assert "Hypotheses: he red a book" in seen["prompt"]
+
+    # The real reference artifacts (available in this environment) load
+    # with the same code path.
+    import glob
+    import os
+
+    real = sorted(glob.glob(
+        "/root/reference/asr_postprocess/experiments/opt_trb/prompts/"
+        "optimized_program_en_*.json"))
+    if real and os.access(real[0], os.R_OK):
+        t = load_optimized_program(real[0])
+        assert t.rstrip().endswith("Corrected Transcription:")
+        out, leaked, rejected = safe_correct(
+            fake_llm, "he red a book", prompt_template=t)
+        assert out == "he read a book" and not rejected
+        assert "he red a book" in seen["prompt"]

@@ -21,11 +21,18 @@ through ``BasicTextNormalizer``. These are re-implemented here without the
   "three point five million", minus/negative, digitxmultiplier
   "50 thousand", currency words).
 
-Documented deltas vs the vendored leaderboard normalizer (all symmetric
-between reference and hypothesis, so WER is unaffected when both sides go
-through this normalizer): currency amounts are spelled out ("$2" and
-"two dollars" both -> "2 dollars"; the leaderboard keeps the "$2" symbol
-form), and "N%" converges with "N percent" (leaderboard keeps "N%").
+Leaderboard-exact currency/percent semantics (round-2 review removed the
+former word-form deltas): the SYMBOL form is canonical — "two dollars" and
+"$2" both normalize to "$2", "$2 and ¢50"/"two dollars and fifty cents"
+-> "$2.50" (combine_cents), "$0.50"/"fifty cents" -> "¢50" (extract_cents),
+"3 percent"/"three per cent"/"3%" -> "3%". Verified against the vendored
+whisper normalizer that transformers ships
+(``transformers.models.whisper.english_normalizer.EnglishTextNormalizer``,
+the same code the leaderboard runs; reference vendors it via
+``asr_postprocess/ml_normalizer.py:1-11``) by a differential corpus test,
+``tests/test_eval.py``. The one intentional difference: the
+British->American spelling table is generated from suffix rules instead of
+whisper's english.json (equivalent coverage, exact-match lookups only).
 """
 
 from __future__ import annotations
@@ -427,14 +434,50 @@ def _split_number_hyphens(words: List[str]) -> List[str]:
     return out
 
 
+_ZEROS = {"zero", "o", "oh"}
+_REPEATERS = {"double": 2, "triple": 3}
+
+
+def _dec_digit(w: str):
+    """Digit-string contribution of a word after "point" (whisper appends
+    any number word's digits: "oh" -> "0", "nineteen" -> "19")."""
+    if w in _ZEROS:
+        return "0"
+    if w in _ONES:
+        return str(_ONES[w])
+    if w in _TENS:
+        return str(_TENS[w])
+    return None
+
+
+def _is_run_word(w: str) -> bool:
+    return (w in _ONES or w in _TENS or w in _ZEROS or w in _MULTIPLIERS
+            or w in _ORD_ONES or w in _ORD_TENS or w in _ORD_MULT
+            or w in _REPEATERS)
+
+
+def _in_number_vocab(w: str) -> bool:
+    """Whisper's number-word vocabulary: the words its transducer reacts
+    to at all (drives minus-gluing and bare-"point" dropping)."""
+    return (_is_run_word(w) or w in _CURRENCY_WORDS
+            or w in ("percent", "per", "cent", "point", "minus", "negative",
+                     "and"))
+
+
 def _parse_number(words: List[str], i: int):
     """Parse a number-word run starting at ``i``.
 
-    Returns (text, next_index) or None. Covers: cardinal composition up to
-    septillions, digit tokens composing with multipliers ("50 thousand"),
-    "a hundred", "and" joins, compound ordinals ("twenty first" -> 21st),
-    decimals incl. "oh" digits and decimal*multiplier ("three point five
-    million"), minus/negative, and trailing currency words -> symbol form.
+    Returns (text, next_index) or None. Whisper-concat semantics (verified
+    against the leaderboard normalizer transformers vendors): a run of
+    number words becomes ONE token; irregular compositions concatenate as
+    digit strings ("nineteen eighty four" -> 1984, "seven six two" -> 762,
+    "nineteen oh five" -> 1905), regular compositions add ("three hundred
+    sixty five" -> 365, "two thousand nineteen" -> 2019). Also covers:
+    digit tokens with multipliers ("50 thousand"), "and" joins after a
+    multiplier, "double"/"triple" digit repetition, compound ordinals
+    ("twenty first" -> 21st), decimals incl. spoken "oh" and
+    decimal*multiplier ("three point five million"), minus/negative, and
+    trailing currency words -> leaderboard symbol form ("$205").
     """
     n = len(words)
     j = i
@@ -443,94 +486,128 @@ def _parse_number(words: List[str], i: int):
         negative = True
         j += 1
 
-    value = 0
-    current = 0
-    have = False          # at least one numeric word consumed
-    ordinal: Optional[int] = None
+    val: Any = None       # None | int | digit-string (concat mode)
+    prev_kind = None      # "ones" | "tens" | "zeros" | "mult" | None
+    ordinal_suffix = False
+
+    def cat(x) -> str:
+        return ("" if val is None else str(val)) + str(x)
 
     while j < n:
         w = words[j]
-        if w in ("a", "an") and not have and j + 1 < n and \
-                words[j + 1] in _MULTIPLIERS:
-            current = 1
-            have = True
+        if w == "and" and prev_kind == "mult" and j + 1 < n and \
+                _is_run_word(words[j + 1]):
             j += 1
             continue
-        if w == "and" and have and j + 1 < n and (
-                words[j + 1] in _ONES or words[j + 1] in _TENS
-                or words[j + 1] in _ORD_ONES or words[j + 1] in _ORD_TENS):
-            j += 1
+        if w in _REPEATERS and j + 1 < n and (
+                words[j + 1] in _ZEROS or words[j + 1] in _ONES):
+            # Repetition covers ones incl. teens ("double nineteen" ->
+            # 1919) but NOT tens ("triple fifty" keeps the word).
+            nxt = words[j + 1]
+            d = "0" if nxt in _ZEROS else str(_ONES[nxt])
+            val = cat(d * _REPEATERS[w])
+            prev_kind = "zeros"
+            j += 2
             continue
-        if w in _ONES:
-            if have and (current % 10 or (current % 100 and _ONES[w] >= 10)
-                         or (current == 0 and value == 0)):
-                break
-            current += _ONES[w]
-            have = True
-        elif w in _TENS:
-            if current % 100:
-                break
-            current += _TENS[w]
-            have = True
-        elif w.isdigit() and not have:
-            current = int(w)
-            have = True
-        elif w in _MULTIPLIERS:
-            mult = _MULTIPLIERS[w]
-            if not have and mult == 100:
-                break                       # bare "hundred" is not a number
-            if mult == 100:
-                current = max(current, 1) * 100
-            else:
-                value += max(current, 1) * mult
-                current = 0
-            have = True
-        elif w in _ORD_ONES or w in _ORD_TENS or w in _ORD_MULT:
-            if w == "second" and not have:
-                # Ambiguous with the time unit: only ordinal in compounds
-                # ("twenty second" -> 22nd; "a second" stays a word).
-                break
-            o = (_ORD_ONES.get(w) or _ORD_TENS.get(w) or _ORD_MULT[w])
-            if w in _ORD_MULT:
-                if o == 100:
-                    current = max(current, 1) * 100
+        if w in _ZEROS:
+            val = cat(0)
+            prev_kind = "zeros"
+        elif w in _ONES or w in _ORD_ONES:
+            o = _ONES.get(w)
+            is_ord = o is None
+            if is_ord:
+                o = _ORD_ONES[w]
+            if w == "one" and val is None:
+                nxt = words[j + 1] if j + 1 < n else ""
+                if nxt in _CURRENCY_WORDS:
+                    # Whisper wart, kept for leaderboard parity: "one
+                    # dollar" -> "one" (the word survives, the currency
+                    # word is absorbed into a stripped symbol).
+                    return "one", j + 2
+                per_cent = (nxt == "per" and j + 2 < n
+                            and words[j + 2] == "cent")
+                if not (_is_run_word(nxt) or nxt == "percent" or per_cent):
+                    break                  # lone "one" stays a word
+            if val is None:
+                val = o
+            elif isinstance(val, str) or prev_kind in ("ones", "zeros"):
+                if prev_kind == "tens" and o < 10:
+                    val = str(val)[:-1] + str(o)
                 else:
-                    value += max(current, 1) * o
-                    current = 0
-                ordinal = value + current
-            elif w in _ORD_TENS:
-                if current % 100:
-                    break
-                ordinal = value + current + o
+                    val = cat(o)
+            elif o < 10:
+                val = val + o if val % 10 == 0 else cat(o)
             else:
-                if current % 10 or (current % 100 and o >= 10):
-                    break
-                ordinal = value + current + o
-            have = True
-            j += 1
-            break
+                val = val + o if val % 100 == 0 else cat(o)
+            prev_kind = "ones"
+            if is_ord:
+                ordinal_suffix = True
+                j += 1
+                break
+        elif w in _TENS or w in _ORD_TENS:
+            o = _TENS.get(w)
+            is_ord = o is None
+            if is_ord:
+                o = _ORD_TENS[w]
+            if val is None:
+                val = o
+            elif isinstance(val, str):
+                val = cat(o)
+            else:
+                val = val + o if val % 100 == 0 else cat(o)
+            prev_kind = "tens"
+            if is_ord:
+                ordinal_suffix = True
+                j += 1
+                break
+        elif w.isdigit() and val is None:
+            val = int(w)
+            prev_kind = "ones"
+        elif w in _MULTIPLIERS or w in _ORD_MULT:
+            mult = _MULTIPLIERS.get(w)
+            is_ord = mult is None
+            if is_ord:
+                mult = _ORD_MULT[w]
+            if val is None:
+                val = mult
+            elif isinstance(val, str):
+                val = int(val) * mult
+            else:
+                before = val // 1000 * 1000
+                residual = val % 1000
+                val = before + max(residual, 1) * mult
+            prev_kind = "mult"
+            if is_ord:
+                ordinal_suffix = True
+                j += 1
+                break
         else:
             break
         j += 1
 
-    if not have:
+    if val is None:
         return None
-    if ordinal is not None:
-        return f"{ordinal}{_ordinal_suffix(ordinal)}", j
+    if ordinal_suffix:
+        o_val = int(val)
+        sign = "-" if negative else ""
+        return f"{sign}{o_val}{_ordinal_suffix(o_val)}", j
 
-    total: Any = value + current
+    # Concat-mode digit strings stay verbatim ("zero zero seven" -> 007).
+    total: Any = val
     text = None
-    # Decimal tail: point <digits...> [multiplier]
+    # Decimal tail: point <number words...> [multiplier]. Whisper appends
+    # the digit string of ANY number word after "point" ("point twenty
+    # oh" -> .200, "point nineteen" -> .19), not only single digits.
     if j < n and words[j] == "point" and j + 1 < n and \
-            words[j + 1] in _DECIMAL_DIGITS:
+            _dec_digit(words[j + 1]) is not None:
         digits = []
         j += 1
-        while j < n and words[j] in _DECIMAL_DIGITS:
-            digits.append(str(_DECIMAL_DIGITS[words[j]]))
+        while j < n and _dec_digit(words[j]) is not None:
+            digits.append(_dec_digit(words[j]))
             j += 1
         frac = "".join(digits)
         if j < n and words[j] in _MULTIPLIERS and _MULTIPLIERS[words[j]] > 100:
-            total = float(f"{total}.{frac}") * _MULTIPLIERS[words[j]]
+            total = float(f"{int(total)}.{frac}") * _MULTIPLIERS[words[j]]
             j += 1
         else:
             # Keep the spoken digit string verbatim ("two point oh" -> 2.0).
@@ -538,11 +615,17 @@ def _parse_number(words: List[str], i: int):
             total = float(text)
     if text is None:
         if negative:
-            total = -total
-        text = _fmt(total)
-    # Currency words -> the leaderboard's symbol form ("$2", "¢50").
-    if j < n and words[j] in _CURRENCY_WORDS and not isinstance(total, float):
+            # Sign survives concat strings too ("minus ninety oh zero"
+            # -> -9000-as-string).
+            total = ("-" + total) if isinstance(total, str) else -total
+        text = str(total) if isinstance(total, str) else _fmt(total)
+    # Currency words -> the leaderboard's symbol form ("$2", "¢50"); the
+    # sign is dropped with currency, matching whisper ("minus five
+    # dollars" -> "$5").
+    if j < n and words[j] in _CURRENCY_WORDS and \
+            float(total) == int(float(total)):
         sym = _CURRENCY_WORDS[words[j]]
+        text = text.lstrip("-")
         return (f"¢{text}" if sym == "¢" else f"{sym}{text}"), j + 1
     return text, j
 
@@ -558,17 +641,17 @@ def _normalize_numbers(words: List[str]) -> List[str]:
         w = words[i]
         # Decimal tail attaching to an already-digit token: "22 point 5".
         if (w == "point" and out and out[-1].lstrip("-").isdigit()
-                and i + 1 < len(words) and words[i + 1] in _DECIMAL_DIGITS):
+                and i + 1 < len(words)
+                and _dec_digit(words[i + 1]) is not None):
             digits = []
             j = i + 1
-            while j < len(words) and words[j] in _DECIMAL_DIGITS:
-                digits.append(str(_DECIMAL_DIGITS[words[j]]))
+            while j < len(words) and _dec_digit(words[j]) is not None:
+                digits.append(_dec_digit(words[j]))
                 j += 1
             out[-1] = out[-1] + "." + "".join(digits)
             i = j
             continue
-        if (w in _ONES or w in _TENS or w in _ORD_ONES or w in _ORD_TENS
-                or w in ("minus", "negative", "a", "an")
+        if (_is_run_word(w) or w in ("minus", "negative")
                 or (w.isdigit() and i + 1 < len(words)
                     and words[i + 1] in _MULTIPLIERS)):
             parsed = _parse_number(words, i)
@@ -576,6 +659,33 @@ def _normalize_numbers(words: List[str]) -> List[str]:
                 text, j = parsed
                 out.append(text)
                 i = j
+                continue
+        if w in ("minus", "negative") and i + 1 < len(words) and \
+                _in_number_vocab(words[i + 1]):
+            # Whisper glues the sign to the next NUMBER-VOCAB token even
+            # when no number parses ("ninety minus dollar" -> "90
+            # -dollar"); chained signs collapse to the last one.
+            if words[i + 1] in ("minus", "negative"):
+                i += 1
+                continue
+            out.append("-" + words[i + 1])
+            i += 2
+            continue
+        if w == "point" and i + 1 < len(words):
+            if _dec_digit(words[i + 1]) is not None:
+                # Fraction with no integer part: ".200".
+                digits = []
+                j = i + 1
+                while j < len(words) and _dec_digit(words[j]) is not None:
+                    digits.append(_dec_digit(words[j]))
+                    j += 1
+                out.append("." + "".join(digits))
+                i = j
+                continue
+            if _in_number_vocab(words[i + 1]):
+                # Bare "point" before a number-vocab word is consumed
+                # ("the point hundredth" -> "the 100th").
+                i += 1
                 continue
         out.append(w)
         i += 1
@@ -616,22 +726,23 @@ class EnglishTextNormalizer:
         words = [_SPELLINGS.get(w, w) for w in words]
         s = " ".join(words)
 
-        # Combine cents into the decimal form so spoken "two dollars and
-        # fifty cents" and written "$2.50" CONVERGE (leaderboard
-        # combine_cents semantics): "$2 and ¢50" -> "$2.50" -> "2.50
-        # dollars". Standalone ¢X -> "X cents".
+        # Leaderboard-exact currency/percent canonicalization (whisper
+        # EnglishNumberNormalizer postprocess; the SYMBOL form is kept —
+        # round-2 review removed the word-form deltas). "$2 and ¢50" ->
+        # "$2.50" (combine_cents), "$0.50" -> "¢50" (extract_cents).
         s = re.sub(r"([€£$])([0-9]+)(?: and)? ¢([0-9]{1,2})\b",
                    lambda m: f"{m.group(1)}{m.group(2)}.{int(m.group(3)):02d}",
                    s)
-        s = re.sub(r"¢([0-9]+)\b", r"\1 cents", s)
-        s = re.sub(r"\$(\d+(?:\.\d+)?)\b", r"\1 dollars", s)
-        s = re.sub(r"£(\d+(?:\.\d+)?)\b", r"\1 pounds", s)
-        s = re.sub(r"€(\d+(?:\.\d+)?)\b", r"\1 euros", s)
-        s = re.sub(r"(\d+(?:\.\d+)?)%", r"\1 percent", s)
+        s = re.sub(r"[€£$]0\.([0-9]{1,2})\b", lambda m: f"¢{int(m.group(1))}",
+                   s)
+        # "N percent" / "N per cent" -> "N%" (whisper suffixers).
+        s = re.sub(r"(\d(?:\.\d+)?) per ?cent\b", r"\1%", s)
+        # Readability parity: a bare "1" is written "one" — BEFORE the
+        # symbol strips, so "1%" -> "one%" -> "one" exactly as whisper's
+        # postprocess ordering produces.
+        s = re.sub(r"\b1(s?)\b", r"one\1", s)
         # Leftover symbols not glued to digits become spaces.
         s = re.sub(r"[.$¢€£](?![0-9])", " ", s)
         s = re.sub(r"(?<![0-9])%", " ", s)
-        # Readability parity: a bare "1" is written "one".
-        s = re.sub(r"\b1(s?)\b", r"one\1", s)
         s = re.sub(r"\s+", " ", s)
         return s.strip()
