@@ -170,3 +170,37 @@ def test_entry_lowers():
 
     fn, args = entry()
     jax.jit(fn).lower(*args)  # trace + lower only (compile is the driver's job)
+
+
+def test_sharded_full_engine_generate_parity(tiny_arch):
+    """Token parity of the COMPLETE bucketed generate program — KV cache,
+    suppress masks, alignment capture, speculation off — between a
+    dp=4 x tp=2 mesh and a single device (round-2 review weak #6)."""
+    from thewhisper_tpu.config import GenerationOptions, SpecialTokens
+    from thewhisper_tpu.engine import WhisperEngine
+
+    sp = SpecialTokens(
+        eot=1, sot=2, first_language=10, n_languages=5, translate=20,
+        transcribe=21, no_speech=22, no_timestamps=23, timestamp_begin=24)
+    params = init_params(tiny_arch, seed=3)
+    mesh = make_mesh(8)
+
+    eng_single = WhisperEngine(
+        params, tiny_arch, special=sp, batch_buckets=(8,),
+        suppress_tokens=[5, 6], begin_suppress_tokens=[7])
+    eng_sharded = WhisperEngine(
+        shard_params(params, mesh), tiny_arch, special=sp,
+        batch_buckets=(8,), suppress_tokens=[5, 6],
+        begin_suppress_tokens=[7], mesh=mesh)
+
+    rng = np.random.default_rng(11)
+    mel = rng.standard_normal((8, tiny_arch.n_mels, 100), dtype=np.float32)
+    opts = GenerationOptions(max_new_tokens=6, language="en",
+                             return_timestamps=True)
+    a = eng_single.transcribe_features(mel, opts)
+    b = eng_sharded.transcribe_features(mel, opts)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
+    np.testing.assert_array_equal(a.num_generated, b.num_generated)
+    np.testing.assert_allclose(a.sum_logprob, b.sum_logprob,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(a.align, b.align, rtol=1e-3, atol=1e-3)

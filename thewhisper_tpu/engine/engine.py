@@ -98,6 +98,7 @@ class WhisperEngine:
         draft_arch: Optional[WhisperArch] = None,
         spec_window: int = 4,
         spec_ngram: bool = False,
+        mesh: Optional[Any] = None,
     ):
         """``draft_params``/``draft_arch`` enable speculative greedy
         decoding (engine/speculative.py): the draft decoder proposes
@@ -109,7 +110,15 @@ class WhisperEngine:
         greedy calls only (``num_beams == 1``, ``temperature == 0``).
         ``spec_ngram=True`` speculates via free prompt-lookup drafting
         instead of a model (no extra weights; wins on repetitive speech,
-        never meaningfully loses — verify costs ~1.01x a step)."""
+        never meaningfully loses — verify costs ~1.01x a step).
+
+        ``mesh``: a ``(dp, tp)`` ``jax.sharding.Mesh`` for multi-chip
+        serving. Pass params already placed with
+        ``parallel.shard_params`` (TP over heads/ffn); batched inputs
+        (mel/audio/prompt rows) are then dp-sharded on entry when the
+        batch bucket divides the dp axis, and GSPMD propagates the
+        shardings through the whole generate program (encoder, KV cache,
+        decode loop, alignment capture)."""
         self.arch = arch
         self.special = special or SpecialTokens.for_vocab(arch.vocab_size)
         self.compute_dtype = compute_dtype
@@ -136,7 +145,10 @@ class WhisperEngine:
             raise ValueError(
                 "draft d_model must match the target (the draft's cross-KV "
                 "is computed from the shared encoder's states)")
-        self.params = jax.device_put(params)
+        self.mesh = mesh
+        # With a mesh, params must arrive pre-placed (shard_params) —
+        # a blanket device_put would yank them back to one device.
+        self.params = params if mesh is not None else jax.device_put(params)
         self._suppress = (
             jnp.asarray(suppress_mask(arch.vocab_size, suppress_tokens))
             if len(suppress_tokens) else None)
@@ -381,6 +393,21 @@ class WhisperEngine:
 
     # -- public API ----------------------------------------------------------
 
+    def _place(self, x):
+        """dp-shard a batched input over the mesh (no-op without one).
+
+        Replicates when the batch does not divide the dp axis (bs=1 on a
+        dp>1 mesh); GSPMD still TP-shards the compute via the params."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        x = jnp.asarray(x)
+        dp = self.mesh.shape.get("dp", 1)
+        spec = (PartitionSpec("dp", *([None] * (x.ndim - 1)))
+                if dp > 1 and x.shape[0] % dp == 0 else PartitionSpec())
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
     def _prep_proposals(self, draft_tokens, bb: int, max_new: int):
         """Normalize caller-supplied proposal tokens to (bb, max_new)."""
         if draft_tokens is None:
@@ -427,7 +454,7 @@ class WhisperEngine:
             options.return_timestamps, num_beams=options.num_beams,
             temperature=temperature, proposals=props is not None)
         t0 = time.perf_counter()
-        result = fn(self.params, jnp.asarray(mel), prompt_arr,
+        result = fn(self.params, self._place(mel), self._place(prompt_arr),
                     jnp.uint32(options.seed),
                     props if props is not None else self.draft_params)
         return self._unpack(result, b, p, options, t0)
@@ -471,7 +498,7 @@ class WhisperEngine:
             temperature=temperature, use_pallas=use_pallas,
             proposals=props is not None)
         t0 = time.perf_counter()
-        result = fn(self.params, jnp.asarray(audio), prompt_arr,
+        result = fn(self.params, self._place(audio), self._place(prompt_arr),
                     jnp.uint32(options.seed),
                     props if props is not None else self.draft_params)
         return self._unpack(result, b, p, options, t0)
@@ -521,7 +548,7 @@ class WhisperEngine:
         if bb != b:
             mel = _pad_batch(mel, bb)
         fn = self._detect_language_fn(bb, mel.shape[-1])
-        probs = np.asarray(fn(self.params, jnp.asarray(mel)))[:b]
+        probs = np.asarray(fn(self.params, self._place(mel)))[:b]
         idx = probs.argmax(-1)
         codes = np.asarray(
             [LANGUAGES[i] for i in idx])
