@@ -266,3 +266,46 @@ def test_full_hf_pipeline_transcript_parity(tiny_ckpt):
     ours = ASRPipeline(tiny_ckpt, chunk_length_s=30, compute_dtype=jnp.float32)
     out = ours(audio, generate_kwargs={"max_new_tokens": 10, "language": "en"})
     assert out["text"] == ref["text"]
+
+
+def test_ingest_checkpoint_runbook(tiny_ckpt, tmp_path):
+    """Day-one runbook (round-2 review #9): HF dir -> quantize -> warm
+    compile cache -> smoke transcription -> manifest eval, end to end on
+    the synthetic HF-layout checkpoint."""
+    import json
+    import wave
+
+    from ingest_checkpoint import main as ingest_main
+
+    # Two-sample manifest with synthetic WAVs.
+    sr = 16000
+    manifest = tmp_path / "dev.jsonl"
+    lines = []
+    for i, freq in enumerate((260, 410)):
+        t = np.arange(sr * 2) / sr
+        pcm = (0.2 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+        wav = tmp_path / f"s{i}.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        lines.append(json.dumps({"audio": str(wav), "text": "a test"}))
+    manifest.write_text("\n".join(lines) + "\n")
+
+    report_path = tmp_path / "ingest.json"
+    report = ingest_main([
+        tiny_ckpt, "--mode", "S", "--chunk-length", "10",
+        "--warm-batches", "1,2", "--max-new", "8", "--cpu",
+        "--dtype", "float32",
+        "--eval-manifest", str(manifest), "--eval-batch-size", "2",
+        "--report", str(report_path),
+    ])
+    assert report["ok"] and report["mode"] == "S"
+    assert set(report["warm_compile_s"]) == {"bs1", "bs2",
+                                             "stream_fused_bs1"}
+    assert report["smoke"]["n_words"] >= 0
+    assert "wer" in report["eval"] and report["eval"]["n_samples"] == 2
+    # The report round-trips from disk too.
+    on_disk = json.loads(report_path.read_text())
+    assert on_disk["ok"] is True
