@@ -64,6 +64,12 @@ ipcMain.on("renderer-log", (_event, level, message) => {
   console.log(`[renderer:${level}] ${message}`);
 });
 
+// The error modal's "Quit app" button (parity with the reference's
+// quitApp IPC, preload.js:3-11 there).
+ipcMain.on("quit-app", () => {
+  app.quit();
+});
+
 app.whenReady().then(createWindow);
 app.on("window-all-closed", () => {
   if (process.platform !== "darwin") app.quit();

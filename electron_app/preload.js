@@ -1,4 +1,4 @@
-// Context-isolated bridge: config access + log forwarding only.
+// Context-isolated bridge: config access, log forwarding, app quit.
 "use strict";
 
 const { contextBridge, ipcRenderer } = require("electron");
@@ -6,4 +6,5 @@ const { contextBridge, ipcRenderer } = require("electron");
 contextBridge.exposeInMainWorld("clientBridge", {
   getConfig: () => ipcRenderer.invoke("get-config"),
   log: (level, message) => ipcRenderer.send("renderer-log", level, message),
+  quitApp: () => ipcRenderer.send("quit-app"),
 });

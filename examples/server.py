@@ -83,7 +83,9 @@ def main():
 
         print("Streaming backend: local TPU engine (batched)")
 
-    manager = SessionManager(backend_factory, chunk_length_s=config.chunk_length_s)
+    manager = SessionManager(backend_factory,
+                             chunk_length_s=config.chunk_length_s,
+                             backend_type=backend_type)
     server = StreamingServer(manager, config)
     print(f"Server started on {config.host}:{server.port}")
     server.serve_forever()

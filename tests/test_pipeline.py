@@ -213,3 +213,22 @@ def test_auto_detect_batch_languages(tiny_pipeline):
                                  generate_kwargs={"max_new_tokens": 4})
     assert len(outs) == 2
     assert all("text" in o for o in outs)
+
+
+def test_transcribe_batch_per_row_languages(tiny_pipeline):
+    """Per-row forced languages build per-row prompts in ONE engine call
+    (the multi-language coalescer path)."""
+    from thewhisper_tpu.config import LANGUAGES
+
+    outs = tiny_pipeline.transcribe_batch(
+        [_audio(1.0, seed=1), _audio(1.0, seed=2), _audio(1.0, seed=3)],
+        generate_kwargs={"max_new_tokens": 4},
+        languages=[LANGUAGES[1], None, LANGUAGES[2]])
+    assert len(outs) == 3
+    assert all("text" in o and "chunks" in o for o in outs)
+    # Rows with the same audio but different forced languages go through
+    # different prompts — determinism per row still holds.
+    again = tiny_pipeline.transcribe_batch(
+        [_audio(1.0, seed=1)], generate_kwargs={"max_new_tokens": 4},
+        languages=[LANGUAGES[1]])
+    assert again[0]["text"] == outs[0]["text"]

@@ -311,3 +311,45 @@ def test_eviction_skips_active_sessions():
     # With s1 idle again, creation succeeds by evicting LRU.
     manager.create()
     assert manager.n_sessions == 2
+
+
+def test_per_session_language_coalesced():
+    """Sessions created with different languages coalesce into one batch
+    with per-row prompts (the desktop client's language dropdown)."""
+    from thewhisper_tpu.streaming.batching import BatchedTranscriber
+
+    calls = {}
+
+    class FakePipeline:
+        def transcribe_batch(self, audios, return_timestamps="word",
+                             generate_kwargs=None, languages=None):
+            calls["languages"] = languages
+            return [{"text": f" w{i}", "chunks": [
+                {"text": f" w{i}", "timestamp": (0.0, 0.5)}]}
+                for i in range(len(audios))]
+
+    bt = BatchedTranscriber(FakePipeline(), language="en", max_batch=4,
+                            max_wait_ms=100.0)
+    try:
+        a = np.zeros(8000, np.float32)
+        f1 = bt.submit(a, language="fr")
+        f2 = bt.submit(a, language="de")
+        f3 = bt.submit(a)                       # default
+        assert f1.result(timeout=10)["text"] == " w0"
+        assert f2.result(timeout=10)["text"] == " w1"
+        assert f3.result(timeout=10)["text"] == " w2"
+        assert calls["languages"] == ["fr", "de", None]
+    finally:
+        bt.close()
+
+
+def test_create_with_language_and_health_backend(server):
+    import httpx
+
+    base = f"http://127.0.0.1:{server.port}"
+    h = httpx.get(f"{base}/health").json()
+    assert h["backend"] == "tpu"                # SessionManager default
+    r = httpx.post(f"{base}/session/create/", params={"language": "fr"})
+    sid = r.json()["session_id"]
+    # FakeBackend has no language attr -> create still succeeds.
+    assert httpx.post(f"{base}/session/{sid}/end").status_code == 200

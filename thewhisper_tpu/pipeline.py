@@ -198,12 +198,18 @@ class ASRPipeline:
         audios: Sequence[np.ndarray],
         return_timestamps: Union[bool, str] = "word",
         generate_kwargs: Optional[Dict[str, Any]] = None,
+        languages: Optional[Sequence[Optional[str]]] = None,
     ) -> List[Dict[str, Any]]:
         """Transcribe N independent short buffers in ONE engine call.
 
         The multi-stream server path (SURVEY section 7, stage 7): each audio
         must fit a single window (it is truncated to the model chunk length
         otherwise). Returns one ``{"text", "chunks"}`` dict per input.
+
+        ``languages``: optional per-row forced language codes (the
+        multi-stream coalescer batches sessions with DIFFERENT languages
+        into one decode; the engine builds per-row prompts). ``None``
+        entries fall back to the generate_kwargs/pipeline language.
         """
         gk = dict(generate_kwargs or {})
         _MISSING = object()
@@ -221,6 +227,12 @@ class ASRPipeline:
         windows = [np.asarray(a, np.float32).reshape(-1)[:win] for a in audios]
         bucket_s = self._pick_bucket(
             max((len(w) for w in windows), default=0) / SAMPLE_RATE)
+        row_languages = None
+        if languages is not None and any(l for l in languages):
+            row_languages = [
+                languages[i] if i < len(languages) and languages[i]
+                else (language or "en")
+                for i in range(len(windows))]
         opts = GenerationOptions(
             max_new_tokens=max_new_tokens, language=language, task=task,
             return_timestamps=want_words, num_beams=num_beams,
@@ -228,11 +240,12 @@ class ASRPipeline:
         seqs, ts_seqs, lp_seqs, langs = self._decode_windows(
             windows, [0] * len(windows), opts, len(windows), want_words,
             bucket_s=bucket_s, with_logprobs=True, fallback=fallback,
-            allow_reuse=True)
+            allow_reuse=True, row_languages=row_languages)
         return [
             self._format_output(
                 seqs[i], ts_seqs[i] if want_words else None,
-                language if language is not None else langs[i],
+                (row_languages[i] if row_languages
+                 else language if language is not None else langs[i]),
                 want_words, token_logprobs=lp_seqs[i])
             for i in range(len(windows))
         ]
@@ -243,7 +256,8 @@ class ASRPipeline:
                         bucket_s: Optional[float] = None,
                         with_logprobs: bool = False,
                         fallback: Optional[Sequence[float]] = None,
-                        allow_reuse: bool = False):
+                        allow_reuse: bool = False,
+                        row_languages: Optional[Sequence[str]] = None):
         """Run windows through the engine -> per-window (ids, (start,end)).
 
         Returns (seqs, ts_seqs, lp_seqs, langs): ``langs`` is the per-window
@@ -263,7 +277,14 @@ class ASRPipeline:
             # executable as encode+decode (one device call per batch).
             audio = _pad_stack(batch, featurizer.n_samples)
             languages = None
-            if opts.language is None:
+            if row_languages is not None:
+                # Per-row forced languages (multi-language coalesced
+                # batch): the engine builds per-row prompts, no detection.
+                languages = list(row_languages[start: start + len(batch)])
+                res = self._transcribe_with_fallback(
+                    audio, opts, fallback, languages=languages,
+                    allow_reuse=allow_reuse)
+            elif opts.language is None:
                 # Auto-detect per sample (the reference rides HF generate's
                 # detection when no language is forced). The mel computed
                 # for detection is REUSED for the transcription call —

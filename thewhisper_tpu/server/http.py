@@ -58,8 +58,10 @@ class SessionManager:
     def __init__(self, backend_factory: Callable[[], TranscriptionBackend],
                  chunk_length_s: int = 10, use_vad: bool = True,
                  min_process_chunk_s: float = 0.5,
-                 max_sessions: int = 64, session_ttl_s: float = 600.0):
+                 max_sessions: int = 64, session_ttl_s: float = 600.0,
+                 backend_type: str = "tpu"):
         self.backend_factory = backend_factory
+        self.backend_type = backend_type
         self.chunk_length_s = chunk_length_s
         self.use_vad = use_vad
         self.min_process_chunk_s = min_process_chunk_s
@@ -92,10 +94,17 @@ class SessionManager:
             self._locks.pop(oldest, None)
             self._last_seen.pop(oldest, None)
 
-    def create(self) -> str:
+    def create(self, language: Optional[str] = None) -> str:
+        """``language``: optional forced language for this session (the
+        desktop client's dropdown). Applied when the backend supports a
+        per-session language (``QueuedBackend``); other backends keep
+        their own configuration (remote gateways use TRITON_LANG_ID)."""
         session_id = secrets.token_urlsafe(16)
+        backend = self.backend_factory()
+        if language and hasattr(backend, "language"):
+            backend.language = language
         pipe = StreamingPipeline(
-            backend=self.backend_factory(),
+            backend=backend,
             chunk_length_s=self.chunk_length_s,
             min_process_chunk_s=self.min_process_chunk_s,
             use_vad=self.use_vad,
@@ -189,7 +198,9 @@ def _make_handler(manager: SessionManager):
         def do_GET(self):
             path = urlparse(self.path).path
             if path in ("/health", "/health/"):
-                self._send(200, {"status": "ok", "sessions": manager.n_sessions})
+                self._send(200, {"status": "ok",
+                                 "sessions": manager.n_sessions,
+                                 "backend": manager.backend_type})
             elif path in ("/stats", "/stats/"):
                 self._send(200, manager.stats())
             else:
@@ -206,7 +217,10 @@ def _make_handler(manager: SessionManager):
             self._body = self.rfile.read(length) if length else b""
             try:
                 if parts == ["session", "create"]:
-                    self._send(200, {"session_id": manager.create()})
+                    qs = parse_qs(parsed.query)
+                    language = (qs.get("language") or [None])[0] or None
+                    self._send(200, {"session_id": manager.create(
+                        language=language)})
                     return
                 if len(parts) == 3 and parts[0] == "session":
                     sid, action = parts[1], parts[2]

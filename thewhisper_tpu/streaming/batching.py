@@ -50,12 +50,16 @@ class BatchedTranscriber:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, audio: np.ndarray) -> Future:
+    def submit(self, audio: np.ndarray,
+               language: Optional[str] = None) -> Future:
+        """``language``: per-request forced language (per-session streams
+        in different languages coalesce into ONE decode; the engine builds
+        per-row prompts). ``None`` uses the transcriber default."""
         fut: Future = Future()
         if self._stop.is_set():
             fut.set_exception(RuntimeError("transcriber closed"))
             return fut
-        self._q.put((audio, fut))
+        self._q.put((audio, fut, language))
         return fut
 
     def close(self) -> None:
@@ -93,8 +97,9 @@ class BatchedTranscriber:
                     self._stop.set()
                     break
                 batch.append(nxt)
-            audios = [a for a, _ in batch]
-            futures = [f for _, f in batch]
+            audios = [a for a, _, _ in batch]
+            futures = [f for _, f, _ in batch]
+            langs = [l for _, _, l in batch]
             try:
                 results = self.pipeline.transcribe_batch(
                     audios,
@@ -104,6 +109,7 @@ class BatchedTranscriber:
                         "max_new_tokens": self.max_new_tokens,
                         "num_beams": 1,
                     },
+                    languages=(langs if any(langs) else None),
                 )
             except Exception as e:  # propagate to all waiters
                 for f in futures:
@@ -117,8 +123,8 @@ class BatchedTranscriber:
                         RuntimeError("transcribe_batch returned too few rows"))
         self._drain()
 
-    def backend(self) -> "QueuedBackend":
-        return QueuedBackend(self)
+    def backend(self, language: Optional[str] = None) -> "QueuedBackend":
+        return QueuedBackend(self, language=language)
 
 
 class QueuedBackend(TranscriptionBackend):
@@ -126,13 +132,18 @@ class QueuedBackend(TranscriptionBackend):
 
     Applies the same gibberish filter and open-end clamp as
     ``LocalWhisperBackend`` (reference ``streaming_pipeline.py:412-426``).
+    ``language``: per-session forced language (the desktop client's
+    dropdown); ``None`` uses the transcriber default.
     """
 
-    def __init__(self, transcriber: BatchedTranscriber):
+    def __init__(self, transcriber: BatchedTranscriber,
+                 language: Optional[str] = None):
         self.transcriber = transcriber
+        self.language = language
 
     def transcribe(self, audio: np.ndarray, buffer_start_time: float,
                    sample_rate: int) -> List[Word]:
-        result: Dict[str, Any] = self.transcriber.submit(audio).result()
+        result: Dict[str, Any] = self.transcriber.submit(
+            audio, language=self.language).result()
         return words_from_result(
             result, len(audio) / sample_rate, buffer_start_time)
