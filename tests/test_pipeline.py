@@ -232,3 +232,24 @@ def test_transcribe_batch_per_row_languages(tiny_pipeline):
         [_audio(1.0, seed=1)], generate_kwargs={"max_new_tokens": 4},
         languages=[LANGUAGES[1]])
     assert again[0]["text"] == outs[0]["text"]
+
+
+def test_pipelined_dispatch_matches_sequential(tiny_pipeline):
+    """The async-pipelined long-form path (PIPELINE_DEPTH windows in
+    flight) must be a pure host-side reordering: output identical to
+    sequential dispatch+fetch, including word timestamps."""
+    import thewhisper_tpu.pipeline as pl
+
+    audio = _audio(12.0, seed=7)  # >= 3 windows at 2 s chunks -> pipelined
+    kw = {"max_new_tokens": 8, "language": "en"}
+    old = pl.PIPELINE_DEPTH
+    try:
+        pl.PIPELINE_DEPTH = 0
+        seq = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0)
+        pl.PIPELINE_DEPTH = 2
+        pip = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0)
+    finally:
+        pl.PIPELINE_DEPTH = old
+    assert seq == pip

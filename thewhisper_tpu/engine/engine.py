@@ -56,6 +56,29 @@ class EngineResult(NamedTuple):
     no_speech_prob: Optional[np.ndarray] = None  # (B,) greedy + beam
 
 
+class PendingResult:
+    """In-flight transcription: the program is dispatched (device arrays
+    are futures), nothing is fetched yet.
+
+    The windowed offline pipeline's double-buffering lever (round-2
+    review #1): dispatch window N+1's program while window N still
+    executes — on one chip the programs run back to back with no host
+    gap, and the host-side fetch (one tunnel RTT each) overlaps the next
+    window's device time. ``result()`` blocks and unpacks."""
+
+    def __init__(self, engine, raw, b, prompt_len, options, t0):
+        self._engine = engine
+        self._raw = raw
+        self._b = b
+        self._p = prompt_len
+        self._options = options
+        self._t0 = t0
+
+    def result(self) -> EngineResult:
+        return self._engine._unpack(self._raw, self._b, self._p,
+                                    self._options, self._t0)
+
+
 def _bucket_batch(b: int, buckets: Sequence[int]) -> int:
     for cand in buckets:
         if b <= cand:
@@ -421,6 +444,17 @@ class WhisperEngine:
         arr[:b, :l] = dt[:b, :l]
         return jnp.asarray(arr)
 
+    def transcribe_features_async(
+        self,
+        mel: np.ndarray,
+        options: GenerationOptions,
+        languages: Optional[Sequence[str]] = None,
+        draft_tokens: Optional[np.ndarray] = None,
+    ) -> PendingResult:
+        """Dispatch without fetching — see :class:`PendingResult`."""
+        return self._transcribe_features(mel, options, languages,
+                                         draft_tokens, sync=False)
+
     def transcribe_features(
         self,
         mel: np.ndarray,                    # (B, n_mels, T_mel)
@@ -428,6 +462,11 @@ class WhisperEngine:
         languages: Optional[Sequence[str]] = None,   # per-sample override
         draft_tokens: Optional[np.ndarray] = None,   # speculative proposals
     ) -> EngineResult:
+        return self._transcribe_features(mel, options, languages,
+                                         draft_tokens, sync=True)
+
+    def _transcribe_features(self, mel, options, languages, draft_tokens,
+                             sync: bool):
         if not isinstance(mel, jax.Array):
             mel = np.asarray(mel, dtype=np.float32)
         if mel.ndim == 2:
@@ -457,7 +496,21 @@ class WhisperEngine:
         result = fn(self.params, self._place(mel), self._place(prompt_arr),
                     jnp.uint32(options.seed),
                     props if props is not None else self.draft_params)
+        if not sync:
+            return PendingResult(self, result, b, p, options, t0)
         return self._unpack(result, b, p, options, t0)
+
+    def transcribe_audio_async(
+        self,
+        audio: np.ndarray,
+        options: GenerationOptions,
+        use_pallas: Optional[bool] = None,
+        languages: Optional[Sequence[str]] = None,
+        draft_tokens: Optional[np.ndarray] = None,
+    ) -> PendingResult:
+        """Dispatch without fetching — see :class:`PendingResult`."""
+        return self._transcribe_audio(audio, options, use_pallas, languages,
+                                      draft_tokens, sync=False)
 
     def transcribe_audio(
         self,
@@ -475,6 +528,11 @@ class WhisperEngine:
         ``draft_tokens``: expected generated tokens (e.g. the previous
         streaming tick's output) — decoded speculatively against them,
         output still exactly greedy."""
+        return self._transcribe_audio(audio, options, use_pallas, languages,
+                                      draft_tokens, sync=True)
+
+    def _transcribe_audio(self, audio, options, use_pallas, languages,
+                          draft_tokens, sync: bool):
         if not isinstance(audio, jax.Array):
             audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
@@ -501,6 +559,8 @@ class WhisperEngine:
         result = fn(self.params, self._place(audio), self._place(prompt_arr),
                     jnp.uint32(options.seed),
                     props if props is not None else self.draft_params)
+        if not sync:
+            return PendingResult(self, result, b, p, options, t0)
         return self._unpack(result, b, p, options, t0)
 
     def _unpack(self, result, b: int, prompt_len: int,

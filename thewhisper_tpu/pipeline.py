@@ -32,6 +32,11 @@ from thewhisper_tpu.config import GenerationOptions, SAMPLE_RATE
 from thewhisper_tpu.engine import WhisperEngine
 from thewhisper_tpu.text import combine_tokens_into_words, find_longest_common_sequence
 
+# How many window programs may be in flight ahead of the fetch on the
+# pipelined path (see _decode_windows). 2 keeps the device saturated —
+# one executing, one queued — while bounding result latency.
+PIPELINE_DEPTH = 2
+
 
 class ASRPipeline:
     """Offline transcription on the TPU engine.
@@ -162,7 +167,19 @@ class ASRPipeline:
         step = max(1, win - 2 * stride)
 
         offsets = self._window_offsets(len(audio), win, step)
-        windows = [audio[o: o + win] for o in offsets]
+        if len(offsets) >= 3:
+            # Long-form: ship the WHOLE file to the device ONCE and slice
+            # windows there. Per-window host->device uploads were the
+            # serial tax of the windowed path (a 10-min file is ~38 MB;
+            # re-uploading each 9 s window costs ~58 MB through the
+            # tunnel, serialized with compute). Slices/pads are tiny
+            # async XLA ops that overlap the previous window's decode.
+            import jax
+
+            dev = jax.device_put(audio)
+            windows = [dev[o: o + win] for o in offsets]
+        else:
+            windows = [audio[o: o + win] for o in offsets]
         bsz = batch_size or self.batch_size
 
         opts = GenerationOptions(
@@ -271,35 +288,10 @@ class ASRPipeline:
         ts_seqs: List[List[Tuple[Optional[float], Optional[float]]]] = []
         lp_seqs: List[List[float]] = []
         langs: List[Optional[str]] = []
-        for start in range(0, len(windows), bsz):
-            batch = windows[start: start + bsz]
-            # Fused device program: featurization runs inside the same XLA
-            # executable as encode+decode (one device call per batch).
-            audio = _pad_stack(batch, featurizer.n_samples)
-            languages = None
-            if row_languages is not None:
-                # Per-row forced languages (multi-language coalesced
-                # batch): the engine builds per-row prompts, no detection.
-                languages = list(row_languages[start: start + len(batch)])
-                res = self._transcribe_with_fallback(
-                    audio, opts, fallback, languages=languages,
-                    allow_reuse=allow_reuse)
-            elif opts.language is None:
-                # Auto-detect per sample (the reference rides HF generate's
-                # detection when no language is forced). The mel computed
-                # for detection is REUSED for the transcription call —
-                # featurizing once and keeping it on device (no host round
-                # trip, no re-featurize in the fused audio program).
-                mel = featurizer(audio)
-                codes, _ = self.engine.detect_language(mel)
-                languages = [str(c) for c in codes]
-                res = self._transcribe_with_fallback(
-                    audio, opts, fallback, languages=languages, mel=mel,
-                    allow_reuse=allow_reuse)
-            else:
-                res = self._transcribe_with_fallback(
-                    audio, opts, fallback, allow_reuse=allow_reuse)
-            langs.extend((languages or [opts.language] * len(batch))[:len(batch)])
+
+        def consume(res, batch, start, languages):
+            langs.extend(
+                (languages or [opts.language] * len(batch))[:len(batch)])
             p = res.prompt_len
             if want_words:
                 # Alignment rows populated per sample: prompt + generated - 1.
@@ -336,6 +328,60 @@ class ASRPipeline:
                             t1 = None
                         ts.append((t0, t1))
                     ts_seqs.append(ts)
+
+        # Pipelined dispatch (round-2 review #1: the bs=1 long-form
+        # frontier): with a forced language, no fallback ladder and no
+        # cross-call token reuse, batch k's results are not needed to
+        # build batch k+1's inputs — so up to PIPELINE_DEPTH programs are
+        # dispatched ahead of the fetch. The device executes them back to
+        # back with no host gap; each result's tunnel RTT and host
+        # postprocessing (alignment DTW, token filtering) overlap the
+        # NEXT window's device time. Greedy output is unchanged — this
+        # reorders host work only.
+        pipelined = (fallback is None and row_languages is None
+                     and opts.language is not None
+                     and not (self._reuse_previous and allow_reuse)
+                     and hasattr(self.engine, "transcribe_audio_async"))
+        pending: List[Tuple[Any, list, int]] = []
+        for start in range(0, len(windows), bsz):
+            batch = windows[start: start + bsz]
+            # Fused device program: featurization runs inside the same XLA
+            # executable as encode+decode (one device call per batch).
+            audio = _pad_stack(batch, featurizer.n_samples)
+            languages = None
+            if row_languages is not None:
+                # Per-row forced languages (multi-language coalesced
+                # batch): the engine builds per-row prompts, no detection.
+                languages = list(row_languages[start: start + len(batch)])
+                res = self._transcribe_with_fallback(
+                    audio, opts, fallback, languages=languages,
+                    allow_reuse=allow_reuse)
+            elif opts.language is None:
+                # Auto-detect per sample (the reference rides HF generate's
+                # detection when no language is forced). The mel computed
+                # for detection is REUSED for the transcription call —
+                # featurizing once and keeping it on device (no host round
+                # trip, no re-featurize in the fused audio program).
+                mel = featurizer(audio)
+                codes, _ = self.engine.detect_language(mel)
+                languages = [str(c) for c in codes]
+                res = self._transcribe_with_fallback(
+                    audio, opts, fallback, languages=languages, mel=mel,
+                    allow_reuse=allow_reuse)
+            elif pipelined:
+                handle = self.engine.transcribe_audio_async(
+                    audio, opts, use_pallas=self._use_pallas)
+                pending.append((handle, batch, start))
+                if len(pending) > PIPELINE_DEPTH:
+                    h, b_, s_ = pending.pop(0)
+                    consume(h.result(), b_, s_, None)
+                continue
+            else:
+                res = self._transcribe_with_fallback(
+                    audio, opts, fallback, allow_reuse=allow_reuse)
+            consume(res, batch, start, languages)
+        for h, b_, s_ in pending:
+            consume(h.result(), b_, s_, None)
         return seqs, ts_seqs, lp_seqs, langs
 
     # -- temperature fallback ladder (opt-in) --------------------------------
@@ -467,6 +513,17 @@ def _merge_result_rows(base, sub, idx: Sequence[int]):
 
 
 def _pad_stack(windows: Sequence[np.ndarray], win: int) -> np.ndarray:
+    import jax
+
+    if any(isinstance(w, jax.Array) for w in windows):
+        # Device-resident windows (the pipelined long-form path slices
+        # them from one up-front device_put of the whole file): pad and
+        # stack ON DEVICE — tiny async XLA ops, no host round trip.
+        import jax.numpy as jnp
+
+        rows = [jnp.pad(w, (0, win - w.shape[0]))
+                if w.shape[0] != win else w for w in windows]
+        return jnp.stack(rows) if len(rows) > 1 else rows[0][None]
     out = np.zeros((len(windows), win), dtype=np.float32)
     for i, w in enumerate(windows):
         # A window longer than the bucket is an upstream bucketing bug —

@@ -1,0 +1,100 @@
+"""bs=1 long-form RTFx probe — the reference's actual protocol.
+
+Reference RTFx is measured on 10 minutes of audio through the full
+chunked pipeline at batch size 1 (``/root/reference/benchmark/README.md:96-98``;
+L40S turbo-"S" bs=1: 149.08). This probe runs 600 s through our windowed
+ASRPipeline (9 s windows on the 10 s bucket, 1/6 stride, LCS merge,
+int8-S engine, EOT suppressed so every window decodes exactly
+``max_new`` tokens ~ 3.6 tok/s of audio) and reports RTFx = 600 / wall.
+
+A/B: PIPELINE_DEPTH=0 (sequential dispatch+fetch per window) vs the
+default pipelined dispatch, and timestamps off/on.
+
+Usage: python tools/longform_probe.py [--minutes 10] [--max-new 32]
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=10.0)
+    ap.add_argument("--max-new", type=int, default=32)
+    ap.add_argument("--timestamps", action="store_true")
+    ap.add_argument("--depths", default="0,2,3")
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+
+    import thewhisper_tpu.pipeline as pl
+    from thewhisper_tpu.config import ARCH_PRESETS, SpecialTokens
+    from thewhisper_tpu.engine import WhisperEngine
+    from thewhisper_tpu.models.quant import quantize_params
+    from thewhisper_tpu.models.whisper import init_params
+    import jax.numpy as jnp
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}",
+          flush=True)
+    arch = dataclasses.replace(
+        ARCH_PRESETS["large-v3-turbo"],
+        max_source_positions=500,  # 10 s bucket
+        alignment_heads=((1, 0), (2, 3), (3, 7)),
+    )
+    print("initializing turbo int8-S params...", flush=True)
+    params = quantize_params(
+        init_params(arch, seed=0, dtype=jnp.bfloat16),
+        components=("decoder",))
+    engine = WhisperEngine(
+        params, arch, compute_dtype=jnp.bfloat16, batch_buckets=(1,),
+        cross_kv_int8=True,
+        suppress_tokens=[SpecialTokens().eot],   # fixed token count
+    )
+    pipe = pl.ASRPipeline(engine, tokenizer=None, chunk_length_s=10,
+                          batch_size=1)
+
+    total_s = args.minutes * 60.0
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(int(total_s * 16000))
+             ).astype(np.float32)
+    gk = {"max_new_tokens": args.max_new, "language": "en"}
+    rt = "word" if args.timestamps else False
+
+    # Warm compile on a short file (same window program).
+    print("compiling (30 s warmup file)...", flush=True)
+    t0 = time.perf_counter()
+    pipe(audio[: 30 * 16000], chunk_length_s=9, return_timestamps=rt,
+         generate_kwargs=dict(gk), batch_size=1)
+    print(f"warmup+compile: {time.perf_counter() - t0:.1f} s", flush=True)
+
+    n_windows = len(pl.ASRPipeline._window_offsets(
+        len(audio), 9 * 16000, 9 * 16000 - 2 * (9 * 16000 // 6)))
+    print(f"{total_s:.0f} s audio -> {n_windows} windows x "
+          f"{args.max_new} tok", flush=True)
+
+    for depth in (int(d) for d in args.depths.split(",")):
+        pl.PIPELINE_DEPTH = depth
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = pipe(audio, chunk_length_s=9, return_timestamps=rt,
+                       generate_kwargs=dict(gk), batch_size=1)
+            wall = time.perf_counter() - t0
+            best = min(best, wall)
+            print(f"  depth={depth}: wall={wall:.2f} s "
+                  f"RTFx={total_s / wall:.1f} "
+                  f"(text tokens: {len(out['text'].split())})", flush=True)
+        print(f"depth={depth}: BEST RTFx={total_s / best:.1f} "
+              f"({best * 1e3 / n_windows:.1f} ms/window)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
