@@ -264,19 +264,85 @@ def analyze_manifest(
         return list(ex.map(one, samples))
 
 
+def load_results_jsonl(path: str) -> List[Dict[str, Any]]:
+    """Load a leaderboard-format result JSONL — the reference's published
+    artifact layout (``results/MODEL_*_DATASET_*.jsonl``: ``text`` /
+    ``pred_text`` / fractional ``wer`` / per-error ``errors`` records,
+    reference ``analyze_errors.py:4`` and ``dashboard.py:3``) — into this
+    module's analysis records, so a user migrating with existing result
+    manifests feeds them straight into the dashboard and summaries.
+
+    Records that already carry ``errors`` keep their stored alignment and
+    categories verbatim; bare ``{"ref","hyp"}`` lines are passed through
+    for :func:`analyze_manifest` to align."""
+    out: List[Dict[str, Any]] = []
+    for line in open(path, encoding="utf-8"):
+        line = line.strip()
+        if not line:
+            continue
+        r = json.loads(line)
+        if "pred_text" not in r and "hyp" in r:
+            out.append(r)                       # already our schema
+            continue
+        mism = [{
+            "ref_words": e.get("ref_words", []),
+            "hyp_words": e.get("hyp_words", []),
+            "category": e.get("category") or "OTHER",
+        } for e in r.get("errors", [])]
+        out.append({
+            "ref": r.get("text_norm") or r.get("text", ""),
+            "hyp": r.get("pred_text_norm") or r.get("pred_text", ""),
+            "wer": 100.0 * float(r.get("wer", 0.0)),   # fractional -> %
+            "subs": int(r.get("subs", 0)),
+            "dels": int(r.get("dels", 0)),
+            "ins": int(r.get("ins", 0)),
+            "ref_words": int(r.get("ref_words", 0)),
+            "duration": r.get("duration"),
+            "mismatches": mism,
+        })
+    return out
+
+
+def summarize(analyses: List[Dict[str, Any]], task: str) -> Dict[str, Any]:
+    """Reference ``summary_<model>.json`` entry: category counts per task."""
+    from collections import Counter
+
+    cats = Counter(m.get("category") or "OTHER"
+                   for a in analyses for m in a.get("mismatches", []))
+    return {"task": task, "categories": dict(cats)}
+
+
 def main():  # pragma: no cover - thin CLI
     import argparse
+    import os
 
     ap = argparse.ArgumentParser(
         description="Analyze {ref,hyp} jsonl; write analyses json")
-    ap.add_argument("manifest", help="jsonl with {'ref':..., 'hyp':...}")
+    ap.add_argument("manifest", help="jsonl with {'ref':..., 'hyp':...} or "
+                    "a leaderboard result manifest (text/pred_text)")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--out", default="analyses.json")
+    ap.add_argument("--summary", default=None,
+                    help="also write reference-style category summary json")
     ap.add_argument("--use-llm", action="store_true",
                     help="classify hard cases with the configured LLM")
     args = ap.parse_args()
 
-    samples = [json.loads(line) for line in open(args.manifest)]
+    samples = load_results_jsonl(args.manifest)
+    if samples and "mismatches" in samples[0]:
+        # Pre-analyzed leaderboard manifest: keep stored categories.
+        analyses = samples
+        with open(args.out, "w") as f:
+            json.dump(analyses, f, indent=2)
+        if args.summary:
+            task = os.path.basename(args.manifest).rsplit(".", 1)[0]
+            with open(args.summary, "w") as f:
+                json.dump({task: summarize(analyses, task)}, f, indent=2)
+        total_ref = sum(a["ref_words"] for a in analyses) or 1
+        total_err = sum(a["subs"] + a["dels"] + a["ins"] for a in analyses)
+        print(f"{len(analyses)} samples (stored analysis), corpus WER "
+              f"{100.0 * total_err / total_ref:.2f}% -> {args.out}")
+        return
     llm = None
     if args.use_llm:
         from asr_postprocess.llm import OpenAICompatClient
@@ -285,6 +351,10 @@ def main():  # pragma: no cover - thin CLI
     analyses = analyze_manifest(samples, lang=args.lang, llm=llm)
     with open(args.out, "w") as f:
         json.dump(analyses, f, indent=2)
+    if args.summary:
+        task = os.path.basename(args.manifest).rsplit(".", 1)[0]
+        with open(args.summary, "w") as f:
+            json.dump({task: summarize(analyses, task)}, f, indent=2)
     total_ref = sum(a["ref_words"] for a in analyses) or 1
     total_err = sum(a["subs"] + a["dels"] + a["ins"] for a in analyses)
     print(f"{len(analyses)} samples, corpus WER "

@@ -191,11 +191,18 @@ def main():  # pragma: no cover - thin CLI
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("analyses_json", help="json list from analyze_manifest")
+    ap.add_argument("analyses_json",
+                    help="json list from analyze_manifest, or a leaderboard "
+                    "result JSONL (reference results/MODEL_*.jsonl layout)")
     ap.add_argument("--out", default="reports/report.html")
     args = ap.parse_args()
-    with open(args.analyses_json) as f:
-        analyses = json.load(f)
+    if args.analyses_json.endswith(".jsonl"):
+        from asr_postprocess.analyze_errors import load_results_jsonl
+
+        analyses = load_results_jsonl(args.analyses_json)
+    else:
+        with open(args.analyses_json) as f:
+            analyses = json.load(f)
     print(render_report(analyses, path=args.out))
 
 

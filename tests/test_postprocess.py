@@ -262,3 +262,70 @@ def test_load_reference_optimized_program(tmp_path):
             fake_llm, "he red a book", prompt_template=t)
         assert out == "he read a book" and not rejected
         assert "he red a book" in seen["prompt"]
+
+
+def test_load_leaderboard_results_jsonl(tmp_path):
+    """The reference publishes per-model FLEURS result manifests
+    (``results/MODEL_*_DATASET_*.jsonl``: text/pred_text, fractional wer,
+    per-error spans). load_results_jsonl maps them to our analysis schema
+    so the dashboard and summaries consume them directly."""
+    import json
+
+    from asr_postprocess.analyze_errors import load_results_jsonl, summarize
+
+    rec = {
+        "audio_filepath": "sample_0", "duration": 12.6, "idx": 0,
+        "text": "one hundred percent certainty.",
+        "pred_text": " 100% certainty.",
+        "wer": 0.25, "ref_words": 4, "subs": 0, "dels": 1, "ins": 0,
+        "errors": [{"category": "OMISSION", "ref_words": ["percent"],
+                    "hyp_words": [], "sdi": {"S": 0, "D": 1, "I": 0}}],
+        "text_norm": "one hundred percent certainty",
+        "pred_text_norm": "one hundred certainty",
+    }
+    p = tmp_path / "MODEL_x_DATASET_y_fleurs_en_test.jsonl"
+    p.write_text(json.dumps(rec) + "\n")
+    (a,) = load_results_jsonl(str(p))
+    assert a["ref"] == "one hundred percent certainty"
+    assert a["hyp"] == "one hundred certainty"
+    assert a["wer"] == 25.0 and a["dels"] == 1
+    assert a["mismatches"][0]["category"] == "OMISSION"
+    s = summarize([a], "fleurs_en_test")
+    assert s["categories"] == {"OMISSION": 1}
+
+    # Our native {ref,hyp} manifests pass through untouched.
+    q = tmp_path / "native.jsonl"
+    q.write_text(json.dumps({"ref": "a b", "hyp": "a c"}) + "\n")
+    (b,) = load_results_jsonl(str(q))
+    assert b == {"ref": "a b", "hyp": "a c"}
+
+    # The dashboard renders straight from the mapped records.
+    from asr_postprocess.dashboard import render_report
+
+    out = render_report([a], path=str(tmp_path / "r.html"))
+    assert "OMISSION" in open(out).read()
+
+
+def test_reference_results_summary_parity():
+    """Category counts recovered from the reference's published EN result
+    manifest must equal its own summary_*.json (validated exact in-image;
+    skipped where the read-only reference tree is absent)."""
+    import json
+    import os
+
+    import pytest
+
+    from asr_postprocess.analyze_errors import load_results_jsonl, summarize
+
+    base = "/root/reference/asr_postprocess/results"
+    man = os.path.join(
+        base, "MODEL_TheStageAI-thewhisper-large-v3-turbo_DATASET_"
+        "nithinraok-asr-leaderboard-datasets_fleurs_en_test.jsonl")
+    summ = os.path.join(
+        base, "summary_TheStageAI-thewhisper-large-v3-turbo.json")
+    if not (os.path.exists(man) and os.path.exists(summ)):
+        pytest.skip("reference artifacts not present")
+    analyses = load_results_jsonl(man)
+    got = summarize(analyses, "fleurs_en_test")["categories"]
+    want = json.load(open(summ))["fleurs_en_test"]["categories"]
+    assert got == want

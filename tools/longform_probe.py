@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--timestamps", action="store_true")
     ap.add_argument("--depths", default="0,2,3")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--splus", action="store_true",
+                    help="W8A8 encoder (the opt-in S+ engine)")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +55,10 @@ def main():
     params = quantize_params(
         init_params(arch, seed=0, dtype=jnp.bfloat16),
         components=("decoder",))
+    if args.splus:
+        print("quantizing encoder W8A8 (S+)...", flush=True)
+        params = quantize_params(
+            params, components=("encoder",), activation_int8=True)
     engine = WhisperEngine(
         params, arch, compute_dtype=jnp.bfloat16, batch_buckets=(1,),
         cross_kv_int8=True,
