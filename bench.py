@@ -15,6 +15,16 @@ for real ones; throughput is weight-value-independent). Reports:
   program (featurize+encode+prefill+32 tok+align in ONE device call) on a
   9 s buffer — the per-tick cost of the streaming pipeline. Target
   p50 <= 200 ms (BASELINE.md).
+- **bs=1 long-form RTFx** (stderr + JSON): the reference's actual bs=1
+  protocol — 600 s of audio through the windowed offline pipeline
+  (9 s windows, LCS merge) with pipelined dispatch; reference L40S "S"
+  149.08, H100 161.45 (benchmark/README.md:96-134).
+- **speculative honesty**: ngram net tok/s on this run's output plus its
+  EXACT tokens/round (host simulation of the lookup rule), and the
+  projection to natural-English output at 1.53 tok/round — the number
+  the README quotes (round-2 Weak #3).
+- **TTFT split**: total vs tunnel RTT (trivial-program round trip) vs
+  ex-RTT compute.
 - **offline bs=32 RTFx** (stderr): 600 s of audio as a bs=32 x 30 s batch
   with device-resident input, decode differential -> ms/step, RTFx at 112
   and 224 steps (round-1 methodology; reference L40S "S" bs=32: 516.90).
@@ -118,17 +128,31 @@ def main():
     tok_s = (n_long - n_short) / max(t_long - t_short, 1e-9)
     log(f"bs=1: {n_short} tok in {t_short*1e3:.1f} ms / "
         f"{n_long} tok in {t_long*1e3:.1f} ms -> {tok_s:.1f} tok/s")
+    # Tunnel RTT, reported separately (VERDICT r2 #8): a trivial jitted
+    # program round trip is pure dispatch + link latency — a
+    # directly-attached chip pays ~0.
+    triv = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros(())
+    np.asarray(triv(z))
+    rtts = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        np.asarray(triv(z))
+        rtts.append(time.perf_counter() - t0)
+    rtt = statistics.median(rtts)
+    log(f"tunnel RTT (trivial program round trip): {rtt*1e3:.1f} ms")
     # TTFT = the fixed (token-count-independent) cost: encode + prefill +
     # one host dispatch. Includes one ~25 ms tunnel RTT that a
     # directly-attached chip would not pay. Reference turbo-"S" bs=1 TTFT:
     # 11.9 ms L40S / 9.8 ms H100 (benchmark/README.md:104-134).
     step_s = 1.0 / max(tok_s, 1e-9)
     ttft = max(t_short - n_short * step_s, 0.0)
+    ttft_ex = max(ttft - rtt, 0.0)
     # bs=1 RTFx at the 144-token point (conservative: ~3x the typical
     # token count for 10 s of speech). Reference turbo-"S" bs=1: 149-208.
     rtfx_bs1 = 10.0 / max(t_long, 1e-9)
-    log(f"bs=1: TTFT {ttft*1e3:.1f} ms (incl. tunnel RTT), "
-        f"RTFx@144tok {rtfx_bs1:.1f}")
+    log(f"bs=1: TTFT {ttft*1e3:.1f} ms total = {rtt*1e3:.1f} tunnel RTT "
+        f"+ {ttft_ex*1e3:.1f} compute; RTFx@144tok {rtfx_bs1:.1f}")
 
     # --- speculative (ngram) bs=1 diagnostics -------------------------------
     # Free prompt-lookup drafting + 5-token verify (0.84x a step): exact
@@ -144,9 +168,65 @@ def main():
     tnl, rnl = timed(long_opts, eng=eng_ng)
     spec_tok_s = ((int(rnl.num_generated[0]) - int(rns.num_generated[0]))
                   / max(tnl - tns, 1e-9))
+    # Honesty (round-2 Weak #3): the lookup rule is a deterministic
+    # function of the emitted tokens, so this run's EXACT tokens/round
+    # comes from the host simulation; and since every round costs one
+    # verify pass regardless of acceptance, net tok/s scales linearly in
+    # tokens/round. Project to natural English output (1.53 tok/round,
+    # real tokenizer — tools/ngram_acceptance_sim.py) vs the repetitive
+    # best case (4.56). t_round/t_step measured ~1.0
+    # (tools/spec_honesty_probe.py), so ngram drafting has no losing case
+    # beyond noise.
+    from tools.ngram_acceptance_sim import simulate
+
+    rounds, emitted, hist = simulate(np.asarray(rnl.tokens[0]).tolist(), 5)
+    tpr_run = emitted / max(rounds, 1)
+    t_round_ms = tpr_run / max(spec_tok_s, 1e-9) * 1e3
+    spec_nat = 1.53 / max(t_round_ms, 1e-9) * 1e3
     log(f"bs=1 ngram-speculative: {spec_tok_s:.1f} tok/s "
-        f"({spec_tok_s / max(tok_s, 1e-9):.2f}x plain)")
+        f"({spec_tok_s / max(tok_s, 1e-9):.2f}x plain) on this run's "
+        f"output at {tpr_run:.2f} tok/round "
+        f"(histogram {' '.join(f'm={i}:{c}' for i, c in enumerate(hist))})")
+    log(f"  -> round cost {t_round_ms:.3f} ms ({t_round_ms * tok_s / 1e3:.2f}x "
+        f"a plain step); projected natural-output (1.53 tok/round): "
+        f"{spec_nat:.0f} tok/s = {spec_nat / max(tok_s, 1e-9):.2f}x plain")
     del eng_ng
+
+    # --- bs=1 LONG-FORM RTFx: the reference's actual protocol ---------------
+    # 10 minutes of audio through the full windowed offline pipeline at
+    # batch size 1 (reference benchmark/README.md:96-98; L40S turbo-"S"
+    # bs=1 RTFx 149.08, H100 161.45). 9 s windows on the 10 s bucket,
+    # 1/6 stride, LCS merge, EOT suppressed (~3.6 tok/s of audio). The
+    # pipelined dispatch (PIPELINE_DEPTH=2) overlaps each window's fetch
+    # RTT + host postprocessing with the next window's device time.
+    import thewhisper_tpu.pipeline as pl
+
+    eng_lf = WhisperEngine(
+        params, arch, compute_dtype=compute_dtype, batch_buckets=(1,),
+        cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
+    # 9 s windows ride an exact-fit 9 s encoder bucket (450 positions,
+    # flexible-chunk truncation) instead of padding to the 10 s chunk:
+    # ~10% off every window's encode, b9 168->174 RTFx in the interleaved
+    # A/B (tools/longform_probe.py --ab-bucket).
+    pipe_lf = pl.ASRPipeline(eng_lf, tokenizer=None, chunk_length_s=10,
+                             batch_size=1, latency_buckets=[9.0])
+    lf_audio = (0.1 * rng.standard_normal(600 * 16000)).astype(np.float32)
+    lf_kw = {"max_new_tokens": 32, "language": "en"}
+    log("compiling long-form window program...")
+    pipe_lf(lf_audio[: 30 * 16000], chunk_length_s=9,
+            generate_kwargs=dict(lf_kw), batch_size=1)
+    lf_walls = []
+    for _ in range(5):   # best-of-5: tunnel throughput drifts +-25%
+        t0 = time.perf_counter()
+        pipe_lf(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
+                batch_size=1)
+        lf_walls.append(time.perf_counter() - t0)
+    rtfx_lf = 600.0 / min(lf_walls)
+    log(f"bs=1 long-form (600 s, windowed pipeline, depth="
+        f"{pl.PIPELINE_DEPTH}): walls "
+        f"{', '.join(f'{w:.2f}' for w in lf_walls)} s -> RTFx {rtfx_lf:.1f} "
+        f"(ref L40S 149.08 / H100 161.45)")
+    del eng_lf, pipe_lf, lf_audio
 
     # --- large batch throughput (stderr diagnostics) ------------------------
     mel8 = np.repeat(mel, 8, axis=0)
@@ -255,8 +335,13 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(tok_s / 220.0, 3),
         "ttft_bs1_ms": round(ttft * 1e3, 1),
+        "tunnel_rtt_ms": round(rtt * 1e3, 1),
+        "ttft_bs1_ex_rtt_ms": round(ttft_ex * 1e3, 1),
         "rtfx_bs1_144tok": round(rtfx_bs1, 1),
+        "rtfx_bs1_longform": round(rtfx_lf, 1),
         "spec_ngram_tok_s": round(spec_tok_s, 1),
+        "spec_run_tok_per_round": round(tpr_run, 2),
+        "spec_ngram_natural_tok_s": round(spec_nat, 1),
         "stream_p50_ms": round(p50, 1),
         "stream_p95_ms": round(p95, 1),
         "offline_bs32_rtfx112": round(rtfx112, 1),

@@ -62,6 +62,7 @@ class ASRPipeline:
         device: Optional[str] = None,       # accepted for API parity; TPU-only
         draft: Optional[str] = None,        # speculative decoding (engine doc)
         reuse_previous_tokens: bool = False,
+        pipeline_depth: Optional[int] = None,
     ):
         import jax.numpy as jnp
 
@@ -99,6 +100,9 @@ class ASRPipeline:
         # Cross-call speculative reuse (see _transcribe_with_fallback).
         self._reuse_previous = bool(reuse_previous_tokens)
         self._prev_gen_tokens: Optional[np.ndarray] = None
+        # Windows dispatched ahead of the fetch on the long-form path
+        # (None -> module default PIPELINE_DEPTH; 0 -> sequential).
+        self.pipeline_depth = pipeline_depth
 
     def _featurizer_for(self, bucket_s: float) -> LogMelFeaturizer:
         feat = self._featurizers.get(bucket_s)
@@ -189,9 +193,14 @@ class ASRPipeline:
         # Cross-call reuse only when the audio is one window (the
         # streaming rolling-buffer case); a multi-window file would feed
         # one window's tokens as the guess for a different window.
+        # Sub-chunk latency buckets apply to the windowed path too: a
+        # 9 s call window on a configured 9 s bucket encodes 450
+        # positions instead of padding to the model chunk's 500
+        # (flexible-chunk truncation, ~10% off every window's encode).
         seqs, ts_seqs, _, langs = self._decode_windows(
             windows, offsets, opts, bsz, want_words, fallback=fallback,
-            allow_reuse=(len(windows) == 1))
+            allow_reuse=(len(windows) == 1),
+            bucket_s=self._pick_bucket(win_s))
 
         if len(seqs) == 1:
             tokens, token_ts_list = seqs[0], (ts_seqs[0] if want_words else None)
@@ -338,6 +347,8 @@ class ASRPipeline:
         # postprocessing (alignment DTW, token filtering) overlap the
         # NEXT window's device time. Greedy output is unchanged — this
         # reorders host work only.
+        depth = (PIPELINE_DEPTH if self.pipeline_depth is None
+                 else self.pipeline_depth)
         pipelined = (fallback is None and row_languages is None
                      and opts.language is not None
                      and not (self._reuse_previous and allow_reuse)
@@ -372,7 +383,7 @@ class ASRPipeline:
                 handle = self.engine.transcribe_audio_async(
                     audio, opts, use_pallas=self._use_pallas)
                 pending.append((handle, batch, start))
-                if len(pending) > PIPELINE_DEPTH:
+                if len(pending) > depth:
                     h, b_, s_ = pending.pop(0)
                     consume(h.result(), b_, s_, None)
                 continue

@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--splus", action="store_true",
                     help="W8A8 encoder (the opt-in S+ engine)")
+    ap.add_argument("--bucket9", action="store_true",
+                    help="exact-fit 9 s encoder bucket (450 positions) for "
+                    "the 9 s windows instead of padding to the 10 s bucket")
+    ap.add_argument("--ab-bucket", action="store_true",
+                    help="interleave 10 s-bucket vs 9 s-bucket reps in ONE "
+                    "process at the first depth (cancels tunnel drift)")
     args = ap.parse_args()
 
     import jax
@@ -65,7 +71,8 @@ def main():
         suppress_tokens=[SpecialTokens().eot],   # fixed token count
     )
     pipe = pl.ASRPipeline(engine, tokenizer=None, chunk_length_s=10,
-                          batch_size=1)
+                          batch_size=1,
+                          latency_buckets=[9.0] if args.bucket9 else None)
 
     total_s = args.minutes * 60.0
     rng = np.random.default_rng(0)
@@ -85,6 +92,29 @@ def main():
         len(audio), 9 * 16000, 9 * 16000 - 2 * (9 * 16000 // 6)))
     print(f"{total_s:.0f} s audio -> {n_windows} windows x "
           f"{args.max_new} tok", flush=True)
+
+    if args.ab_bucket:
+        depth = int(args.depths.split(",")[0])
+        pl.PIPELINE_DEPTH = depth
+        pipe9 = pl.ASRPipeline(engine, tokenizer=None, chunk_length_s=10,
+                               batch_size=1, latency_buckets=[9.0])
+        print("compiling 9 s-bucket window program...", flush=True)
+        pipe9(audio[: 30 * 16000], chunk_length_s=9, return_timestamps=rt,
+              generate_kwargs=dict(gk), batch_size=1)
+        best = {"b10": float("inf"), "b9": float("inf")}
+        for r in range(args.reps * 2):
+            for name, pp in (("b10", pipe), ("b9", pipe9)):
+                t0 = time.perf_counter()
+                pp(audio, chunk_length_s=9, return_timestamps=rt,
+                   generate_kwargs=dict(gk), batch_size=1)
+                wall = time.perf_counter() - t0
+                best[name] = min(best[name], wall)
+                print(f"  {name}: wall={wall:.2f} s "
+                      f"RTFx={total_s / wall:.1f}", flush=True)
+        for name, b in best.items():
+            print(f"{name}: BEST RTFx={total_s / b:.1f} "
+                  f"({b * 1e3 / n_windows:.1f} ms/window)", flush=True)
+        return
 
     for depth in (int(d) for d in args.depths.split(",")):
         pl.PIPELINE_DEPTH = depth
