@@ -253,3 +253,23 @@ def test_pipelined_dispatch_matches_sequential(tiny_pipeline):
     finally:
         pl.PIPELINE_DEPTH = old
     assert seq == pip
+
+
+def test_windowed_path_uses_latency_bucket(tiny_pipeline):
+    """Long-form call windows ride the configured sub-chunk bucket
+    (exact-fit encode) and produce the same output as padding to the
+    model chunk (position truncation is decode-invariant here)."""
+    from thewhisper_tpu.pipeline import ASRPipeline
+
+    eng = tiny_pipeline.engine
+    tok = tiny_pipeline.tokenizer
+    audio = _audio(8.0, seed=9)
+    kw = {"max_new_tokens": 6, "language": "en"}
+    pad = ASRPipeline(eng, tokenizer=tok, chunk_length_s=3)
+    sub = ASRPipeline(eng, tokenizer=tok, chunk_length_s=3,
+                      latency_buckets=[2.0])
+    o_pad = pad(audio, chunk_length_s=2.0, generate_kwargs=dict(kw))
+    o_sub = sub(audio, chunk_length_s=2.0, generate_kwargs=dict(kw))
+    assert o_sub["text"] == o_pad["text"]
+    # The sub-chunk pipeline actually compiled/used the 2 s featurizer.
+    assert 2.0 in sub._featurizers
