@@ -145,8 +145,20 @@ def main():
     # one host dispatch. Includes one ~25 ms tunnel RTT that a
     # directly-attached chip would not pay. Reference turbo-"S" bs=1 TTFT:
     # 11.9 ms L40S / 9.8 ms H100 (benchmark/README.md:104-134).
-    step_s = 1.0 / max(tok_s, 1e-9)
-    ttft = max(t_short - n_short * step_s, 0.0)
+    # TTFT measured DIRECTLY: the max_new=1 program (featurize-free,
+    # device-resident mel) is encode + prefill + first argmax — the
+    # derived fixed-cost estimate used in round 2 overstated this by ~2x
+    # (tools/ttft_probe.py: ex-RTT 9.4 ms at the 10 s bucket, 5.0 ms at
+    # the 2.5 s first-window bucket; reference L40S 11.9 / H100 9.8 ms).
+    one_opts = GenerationOptions(max_new_tokens=1, language="en")
+    mel_dev = jax.device_put(jnp.asarray(mel))
+    engine.transcribe_features(mel_dev, one_opts)   # compile
+    ttfts = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        engine.transcribe_features(mel_dev, one_opts)
+        ttfts.append(time.perf_counter() - t0)
+    ttft = statistics.median(ttfts)
     ttft_ex = max(ttft - rtt, 0.0)
     # bs=1 RTFx at the 144-token point (conservative: ~3x the typical
     # token count for 10 s of speech). Reference turbo-"S" bs=1: 149-208.

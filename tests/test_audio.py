@@ -135,3 +135,48 @@ def test_log_mel_raw_function_shapes():
     audio = _test_signal(2.0)
     out = log_mel_spectrogram(audio, fb, window)
     assert out.shape == (1, 128, len(audio) // 160)
+
+
+def test_load_audio_ffmpeg_fallback(tmp_path, monkeypatch):
+    """Non-WAV bytes route to the ffmpeg subprocess when the binary
+    exists (stubbed here: the image has no ffmpeg), and raise a clear
+    error when it doesn't."""
+    import subprocess
+
+    import pytest
+
+    from thewhisper_tpu.audio import io as aio
+
+    mp3ish = b"ID3\x04\x00" + b"\x00" * 64
+
+    # No ffmpeg on PATH -> actionable ValueError.
+    monkeypatch.setattr("shutil.which", lambda _: None)
+    with pytest.raises(ValueError, match="ffmpeg"):
+        aio.load_audio(mp3ish)
+
+    # Stub ffmpeg: verify the exact pipe contract (f32le mono @ sr).
+    want = (0.25 * np.sin(np.linspace(0, 20, 1600))).astype("<f4")
+
+    def fake_run(cmd, input=None, stdout=None, stderr=None, check=False):
+        assert cmd[0] == "/fake/ffmpeg" and input == mp3ish
+        assert "f32le" in cmd and "-ac" in cmd and "16000" in cmd
+
+        class R:
+            returncode = 0
+            stdout = want.tobytes()
+            stderr = b""
+        return R()
+
+    monkeypatch.setattr("shutil.which", lambda _: "/fake/ffmpeg")
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = aio.load_audio(mp3ish, sr=16000)
+    np.testing.assert_allclose(out, want)
+
+    # WAV input never touches ffmpeg (would assert in fake_run).
+    import wave as wavmod
+
+    p = tmp_path / "a.wav"
+    with wavmod.open(str(p), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes((np.zeros(160) * 0).astype("<i2").tobytes())
+    assert len(aio.load_audio(str(p))) == 160

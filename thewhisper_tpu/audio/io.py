@@ -101,18 +101,53 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return np.interp(t, np.arange(len(audio)), audio).astype(np.float32)
 
 
+def _ffmpeg_decode(data: bytes, sr: int) -> np.ndarray:
+    """Decode arbitrary compressed audio (mp3/flac/ogg/m4a/...) via an
+    ``ffmpeg`` subprocess when the binary exists on the host.
+
+    ``librosa.load`` transparently handles these formats for the
+    reference (``streaming/streams.py:103-105``); this is the
+    no-extra-python-deps equivalent: ffmpeg emits mono float32 PCM at
+    the target rate straight to a pipe. Raises FileNotFoundError when
+    ffmpeg is absent (callers surface the WAV-parse error instead)."""
+    import shutil
+    import subprocess
+
+    exe = shutil.which("ffmpeg")
+    if exe is None:
+        raise FileNotFoundError("ffmpeg not found on PATH")
+    proc = subprocess.run(
+        [exe, "-v", "error", "-i", "pipe:0", "-f", "f32le", "-ac", "1",
+         "-ar", str(int(sr)), "pipe:1"],
+        input=data, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        check=False)
+    if proc.returncode != 0 or not proc.stdout:
+        raise ValueError(
+            f"ffmpeg decode failed: {proc.stderr.decode(errors='replace')[:200]}")
+    return np.frombuffer(proc.stdout, dtype="<f4").astype(np.float32)
+
+
 def load_audio(path_or_bytes: Union[str, bytes], sr: int = 16000) -> np.ndarray:
-    """Load a WAV file as mono float32 in [-1, 1] at sample rate ``sr``.
+    """Load an audio file as mono float32 in [-1, 1] at sample rate ``sr``.
 
     Replaces the reference's ``librosa.load(path, sr=...)``
-    (``streaming/streams.py:103-105``).
+    (``streaming/streams.py:103-105``). WAV decodes in-process (RIFF
+    parser above); any other container falls back to ``ffmpeg`` when the
+    binary is installed.
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
         with open(path_or_bytes, "rb") as f:
             data = f.read()
-    x, rate = _parse_wav_bytes(data)
+    try:
+        x, rate = _parse_wav_bytes(data)
+    except ValueError as wav_err:
+        try:
+            return _ffmpeg_decode(data, sr)
+        except FileNotFoundError:
+            raise ValueError(
+                f"{wav_err}; install ffmpeg for non-WAV formats") from None
     mono = x.mean(axis=1)
     return resample(mono, rate, sr)
 
