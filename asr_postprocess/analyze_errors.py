@@ -272,9 +272,12 @@ def load_results_jsonl(path: str) -> List[Dict[str, Any]]:
     module's analysis records, so a user migrating with existing result
     manifests feeds them straight into the dashboard and summaries.
 
-    Records that already carry ``errors`` keep their stored alignment and
-    categories verbatim; bare ``{"ref","hyp"}`` lines are passed through
-    for :func:`analyze_manifest` to align."""
+    Records that already carry ``errors`` (the reference writes the key
+    even when empty — a zero-WER line is a complete analysis) keep their
+    stored alignment and categories verbatim, marked by the presence of
+    ``mismatches`` in the output. Bare ``{"ref","hyp"}`` lines and
+    ``text``/``pred_text`` lines WITHOUT stored errors come out as plain
+    ``{"ref","hyp"}`` records for :func:`analyze_manifest` to align."""
     out: List[Dict[str, Any]] = []
     for line in open(path, encoding="utf-8"):
         line = line.strip()
@@ -283,6 +286,11 @@ def load_results_jsonl(path: str) -> List[Dict[str, Any]]:
         r = json.loads(line)
         if "pred_text" not in r and "hyp" in r:
             out.append(r)                       # already our schema
+            continue
+        if "errors" not in r:
+            # Predictions only — needs alignment + classification.
+            out.append({"ref": r.get("text", ""),
+                        "hyp": r.get("pred_text", "")})
             continue
         mism = [{
             "ref_words": e.get("ref_words", []),
@@ -329,26 +337,23 @@ def main():  # pragma: no cover - thin CLI
     args = ap.parse_args()
 
     samples = load_results_jsonl(args.manifest)
-    if samples and "mismatches" in samples[0]:
-        # Pre-analyzed leaderboard manifest: keep stored categories.
-        analyses = samples
-        with open(args.out, "w") as f:
-            json.dump(analyses, f, indent=2)
-        if args.summary:
-            task = os.path.basename(args.manifest).rsplit(".", 1)[0]
-            with open(args.summary, "w") as f:
-                json.dump({task: summarize(analyses, task)}, f, indent=2)
-        total_ref = sum(a["ref_words"] for a in analyses) or 1
-        total_err = sum(a["subs"] + a["dels"] + a["ins"] for a in analyses)
-        print(f"{len(analyses)} samples (stored analysis), corpus WER "
-              f"{100.0 * total_err / total_ref:.2f}% -> {args.out}")
-        return
-    llm = None
-    if args.use_llm:
-        from asr_postprocess.llm import OpenAICompatClient
+    # Per-record routing (a manifest may mix stored analyses with bare
+    # predictions): records already carrying ``mismatches`` keep their
+    # stored alignment/categories; the rest are aligned and classified
+    # here. Output order matches the manifest.
+    todo = [(i, s) for i, s in enumerate(samples) if "mismatches" not in s]
+    n_stored = len(samples) - len(todo)
+    analyses: List[Any] = list(samples)
+    if todo:
+        llm = None
+        if args.use_llm:
+            from asr_postprocess.llm import OpenAICompatClient
 
-        llm = OpenAICompatClient()
-    analyses = analyze_manifest(samples, lang=args.lang, llm=llm)
+            llm = OpenAICompatClient()
+        fresh = analyze_manifest([s for _, s in todo], lang=args.lang,
+                                 llm=llm)
+        for (i, _), a in zip(todo, fresh):
+            analyses[i] = a
     with open(args.out, "w") as f:
         json.dump(analyses, f, indent=2)
     if args.summary:
@@ -357,7 +362,8 @@ def main():  # pragma: no cover - thin CLI
             json.dump({task: summarize(analyses, task)}, f, indent=2)
     total_ref = sum(a["ref_words"] for a in analyses) or 1
     total_err = sum(a["subs"] + a["dels"] + a["ins"] for a in analyses)
-    print(f"{len(analyses)} samples, corpus WER "
+    stored = f" ({n_stored} stored)" if n_stored else ""
+    print(f"{len(analyses)} samples{stored}, corpus WER "
           f"{100.0 * total_err / total_ref:.2f}% -> {args.out}")
 
 

@@ -197,9 +197,16 @@ def main():  # pragma: no cover - thin CLI
     ap.add_argument("--out", default="reports/report.html")
     args = ap.parse_args()
     if args.analyses_json.endswith(".jsonl"):
-        from asr_postprocess.analyze_errors import load_results_jsonl
+        from asr_postprocess.analyze_errors import (analyze_manifest,
+                                                    load_results_jsonl)
 
         analyses = load_results_jsonl(args.analyses_json)
+        # Bare {ref,hyp} records (no stored analysis) must be aligned
+        # before rendering — render_report needs wer/subs/mismatches.
+        todo = [(i, s) for i, s in enumerate(analyses)
+                if "mismatches" not in s]
+        for (i, _), a in zip(todo, analyze_manifest([s for _, s in todo])):
+            analyses[i] = a
     else:
         with open(args.analyses_json) as f:
             analyses = json.load(f)

@@ -399,3 +399,40 @@ def test_english_normalizer_matches_vendored_leaderboard_corpus():
     diffs = [(c, gold(c), ours(c)) for c in corpus
              if gold(c).split() != ours(c).split()]
     assert not diffs, diffs
+
+
+def test_english_normalizer_differential_fuzz_vs_transformers():
+    """Seeded 3000-phrase differential fuzz against the exact normalizer
+    the leaderboard runs (transformers vendors it). Token-level equality
+    — whitespace differences are invisible to WER. This pins the
+    transducer semantics the round-3 rewrite replicated branch-for-
+    branch, including the bug-for-bug corners (falsy-0 erasure, the
+    unescaped extract_cents dot, consuming symbol strips, spoken-suffix
+    ordinals like 'one second' -> 12nd)."""
+    import random
+
+    pytest.importorskip("transformers")
+    from transformers.models.whisper.english_normalizer import (
+        EnglishTextNormalizer as HFNorm,
+    )
+
+    from thewhisper_tpu.utils.normalizers import EnglishTextNormalizer
+
+    h, m = HFNorm({}), EnglishTextNormalizer()
+    rng = random.Random(7)
+    vocab = ["one", "two", "three", "five", "nine", "twelve", "nineteen",
+             "twenty", "forty", "fifty", "ninety", "hundred", "thousand",
+             "million", "point", "oh", "zero", "and", "a", "half",
+             "percent", "dollars", "cents", "first", "second", "third",
+             "the", "price", "was", "about", "over", "nearly", "in",
+             "year", "minus", "negative", "double", "sixes", "twenties",
+             "millionth", "22", "7", "1.5", "per", "cent", "plus",
+             "pounds", "euros", "o", "twentieth", "hundredth", "sat"]
+    bad = []
+    for _ in range(3000):
+        phrase = " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(1, 9)))
+        a, b = h(phrase), m(phrase)
+        if a.split() != b.split():
+            bad.append((phrase, a, b))
+    assert not bad, bad[:5]

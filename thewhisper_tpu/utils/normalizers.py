@@ -15,11 +15,15 @@ through ``BasicTextNormalizer``. These are re-implemented here without the
   incl. the aggressive "'s -> is"), a British->American table generated
   from suffix rules over curated stem lists (equivalent coverage to the
   leaderboard's ~2k-entry json; over-generated non-words are harmless in
-  an exact-match lookup), and a num2words-grade number normalizer
-  (hyphenated compounds, "a hundred", "and" joins, compound ordinals
-  "twenty-first" -> 21st, decimals with spoken "oh", decimal*multiplier
-  "three point five million", minus/negative, digitxmultiplier
-  "50 thousand", currency words).
+  an exact-match lookup), and a spoken-number transducer replicated
+  branch-for-branch from the leaderboard's (digit-run concatenation
+  "nineteen oh five" -> 1905, "and" joins, spoken-suffix ordinals
+  "twenty first" -> 21st / "one second" -> 12nd, decimals incl. bare
+  fractions "minus point five" -> -.5, decimal*multiplier "three point
+  five million" -> 3500000 only when integral, "and a half" -> .5,
+  sign/currency prefixes "seven cents" -> ¢7, literal-value tokens
+  "1.5 million" -> 1500000 — incl. its bug-for-bug corners, see
+  ``_normalize_numbers``).
 
 Leaderboard-exact currency/percent semantics (round-2 review removed the
 former word-form deltas): the SYMBOL form is canonical — "two dollars" and
@@ -365,9 +369,10 @@ def _build_spellings() -> dict:
 
 _SPELLINGS = _build_spellings()
 
+_ZEROS = {"zero", "o", "oh"}
 _ONES = {
-    "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
-    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
+    "one": 1, "two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
+    "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
     "twelve": 12, "thirteen": 13, "fourteen": 14, "fifteen": 15,
     "sixteen": 16, "seventeen": 17, "eighteen": 18, "nineteen": 19,
 }
@@ -379,28 +384,46 @@ _MULTIPLIERS = {
     "hundred": 100, "thousand": 1000, "million": 10 ** 6,
     "billion": 10 ** 9, "trillion": 10 ** 12, "quadrillion": 10 ** 15,
     "quintillion": 10 ** 18, "sextillion": 10 ** 21, "septillion": 10 ** 24,
+    "octillion": 10 ** 27, "nonillion": 10 ** 30, "decillion": 10 ** 33,
 }
-_ORD_ONES = {
-    "first": 1, "second": 2, "third": 3, "fourth": 4, "fifth": 5,
-    "sixth": 6, "seventh": 7, "eighth": 8, "ninth": 9, "tenth": 10,
-    "eleventh": 11, "twelfth": 12, "thirteenth": 13, "fourteenth": 14,
-    "fifteenth": 15, "sixteenth": 16, "seventeenth": 17, "eighteenth": 18,
-    "nineteenth": 19,
+
+# Suffixed forms carry (digits, suffix) and flush immediately: plurals
+# ("sixes" -> 6s, "twenties" -> 20s, "millions" -> 1000000s) and ordinals
+# ("second" -> 2nd, "twelfth" -> 12th, "hundredth" -> 100th). The suffix
+# is the SPOKEN word's, not derived from the value — "one second"
+# becomes 12nd (leaderboard behavior, kept bug-for-bug).
+_ONES_SUFFIXED = {
+    "zeroth": ("0", "th"), "first": ("1", "st"), "second": ("2", "nd"),
+    "third": ("3", "rd"), "fifth": ("5", "th"), "twelfth": ("12", "th"),
 }
-_ORD_TENS = {
-    "twentieth": 20, "thirtieth": 30, "fortieth": 40, "fiftieth": 50,
-    "sixtieth": 60, "seventieth": 70, "eightieth": 80, "ninetieth": 90,
-}
-_ORD_MULT = {
-    "hundredth": 100, "thousandth": 1000, "millionth": 10 ** 6,
-    "billionth": 10 ** 9, "trillionth": 10 ** 12,
-}
-# Digit words valid after "point" (incl. the spoken "oh").
-_DECIMAL_DIGITS = {**{w: v for w, v in _ONES.items() if v <= 9},
-                   "oh": 0, "o": 0}
+for _w, _v in _ONES.items():
+    _ONES_SUFFIXED.setdefault(
+        _w + ("h" if _w.endswith("t") else "th"), (str(_v), "th"))
+    _ONES_SUFFIXED["sixes" if _w == "six" else _w + "s"] = (str(_v), "s")
+_TENS_SUFFIXED = {}
+for _w, _v in _TENS.items():
+    _TENS_SUFFIXED[_w.replace("y", "ieth")] = (str(_v), "th")
+    _TENS_SUFFIXED[_w.replace("y", "ies")] = (str(_v), "s")
+_MULT_SUFFIXED = {}
+for _w, _v in _MULTIPLIERS.items():
+    _MULT_SUFFIXED[_w + "th"] = (_v, "th")
+    _MULT_SUFFIXED[_w + "s"] = (_v, "s")
+
+_DECIMALS = set(_ONES) | set(_TENS) | _ZEROS
+_SIGN_WORDS = {"minus": "-", "negative": "-", "plus": "+", "positive": "+"}
 _CURRENCY_WORDS = {"dollar": "$", "dollars": "$", "pound": "£",
                    "pounds": "£", "euro": "€", "euros": "€",
                    "cent": "¢", "cents": "¢"}
+_SUFFIXERS = {"percent": "%"}          # plus the two-word "per cent"
+_SPECIALS = {"and", "double", "triple", "point"}
+_PREFIX_SYMBOLS = set("+-£€$¢")
+_NUMERIC_RE = re.compile(r"^\d+(\.\d+)?$")
+
+_NUMBER_WORDS = (set(_ZEROS) | set(_ONES) | set(_ONES_SUFFIXED)
+                 | set(_TENS) | set(_TENS_SUFFIXED) | set(_MULTIPLIERS)
+                 | set(_MULT_SUFFIXED) | set(_SIGN_WORDS)
+                 | set(_CURRENCY_WORDS) | set(_SUFFIXERS) | {"per"}
+                 | _SPECIALS)
 
 
 def _ordinal_suffix(n: int) -> str:
@@ -418,277 +441,260 @@ def _fmt(x) -> str:
     return str(x)
 
 
-def _split_number_hyphens(words: List[str]) -> List[str]:
-    """"twenty-two" / "twenty-first" -> two tokens when both halves are
-    number words (num2words emits the hyphenated forms)."""
-    out: List[str] = []
-    for w in words:
-        if "-" in w:
-            parts = w.split("-")
-            if all(p in _ONES or p in _TENS or p in _MULTIPLIERS
-                   or p in _ORD_ONES or p in _ORD_TENS or p in _ORD_MULT
-                   for p in parts if p):
-                out.extend(p for p in parts if p)
-                continue
-        out.append(w)
-    return out
-
-
-_ZEROS = {"zero", "o", "oh"}
-_REPEATERS = {"double": 2, "triple": 3}
-
-
-def _dec_digit(w: str):
-    """Digit-string contribution of a word after "point" (whisper appends
-    any number word's digits: "oh" -> "0", "nineteen" -> "19")."""
-    if w in _ZEROS:
-        return "0"
-    if w in _ONES:
-        return str(_ONES[w])
-    if w in _TENS:
-        return str(_TENS[w])
-    return None
-
-
-def _is_run_word(w: str) -> bool:
-    return (w in _ONES or w in _TENS or w in _ZEROS or w in _MULTIPLIERS
-            or w in _ORD_ONES or w in _ORD_TENS or w in _ORD_MULT
-            or w in _REPEATERS)
-
-
-def _in_number_vocab(w: str) -> bool:
-    """Whisper's number-word vocabulary: the words its transducer reacts
-    to at all (drives minus-gluing and bare-"point" dropping)."""
-    return (_is_run_word(w) or w in _CURRENCY_WORDS
-            or w in ("percent", "per", "cent", "point", "minus", "negative",
-                     "and"))
-
-
-def _parse_number(words: List[str], i: int):
-    """Parse a number-word run starting at ``i``.
-
-    Returns (text, next_index) or None. Whisper-concat semantics (verified
-    against the leaderboard normalizer transformers vendors): a run of
-    number words becomes ONE token; irregular compositions concatenate as
-    digit strings ("nineteen eighty four" -> 1984, "seven six two" -> 762,
-    "nineteen oh five" -> 1905), regular compositions add ("three hundred
-    sixty five" -> 365, "two thousand nineteen" -> 2019). Also covers:
-    digit tokens with multipliers ("50 thousand"), "and" joins after a
-    multiplier, "double"/"triple" digit repetition, compound ordinals
-    ("twenty first" -> 21st), decimals incl. spoken "oh" and
-    decimal*multiplier ("three point five million"), minus/negative, and
-    trailing currency words -> leaderboard symbol form ("$205").
-    """
-    n = len(words)
-    j = i
-    negative = False
-    if words[j] in ("minus", "negative") and j + 1 < n:
-        negative = True
-        j += 1
-
-    val: Any = None       # None | int | digit-string (concat mode)
-    prev_kind = None      # "ones" | "tens" | "zeros" | "mult" | None
-    ordinal_suffix = False
-
-    def cat(x) -> str:
-        return ("" if val is None else str(val)) + str(x)
-
-    while j < n:
-        w = words[j]
-        if w == "and" and prev_kind == "mult" and j + 1 < n and \
-                _is_run_word(words[j + 1]):
-            j += 1
+def _number_preprocess(s: str) -> str:
+    """The leaderboard number stage's string-level rewrites: the one
+    fraction idiom ("<number> and a half" -> "point five"), spaces at
+    letter/digit boundaries, and re-gluing ordinal/plural suffixes
+    ("72 nd" -> "72nd")."""
+    pieces = []
+    segs = re.split(r"\band\s+a\s+half\b", s)
+    for k, seg in enumerate(segs):
+        if not seg.strip():
             continue
-        if w in _REPEATERS and j + 1 < n and (
-                words[j + 1] in _ZEROS or words[j + 1] in _ONES):
-            # Repetition covers ones incl. teens ("double nineteen" ->
-            # 1919) but NOT tens ("triple fifty" keeps the word).
-            nxt = words[j + 1]
-            d = "0" if nxt in _ZEROS else str(_ONES[nxt])
-            val = cat(d * _REPEATERS[w])
-            prev_kind = "zeros"
-            j += 2
-            continue
-        if w in _ZEROS:
-            val = cat(0)
-            prev_kind = "zeros"
-        elif w in _ONES or w in _ORD_ONES:
-            o = _ONES.get(w)
-            is_ord = o is None
-            if is_ord:
-                o = _ORD_ONES[w]
-            if w == "one" and val is None:
-                nxt = words[j + 1] if j + 1 < n else ""
-                if nxt in _CURRENCY_WORDS:
-                    # Whisper wart, kept for leaderboard parity: "one
-                    # dollar" -> "one" (the word survives, the currency
-                    # word is absorbed into a stripped symbol).
-                    return "one", j + 2
-                per_cent = (nxt == "per" and j + 2 < n
-                            and words[j + 2] == "cent")
-                if not (_is_run_word(nxt) or nxt == "percent" or per_cent):
-                    break                  # lone "one" stays a word
-            if val is None:
-                val = o
-            elif isinstance(val, str) or prev_kind in ("ones", "zeros"):
-                if prev_kind == "tens" and o < 10:
-                    val = str(val)[:-1] + str(o)
-                else:
-                    val = cat(o)
-            elif o < 10:
-                val = val + o if val % 10 == 0 else cat(o)
-            else:
-                val = val + o if val % 100 == 0 else cat(o)
-            prev_kind = "ones"
-            if is_ord:
-                ordinal_suffix = True
-                j += 1
-                break
-        elif w in _TENS or w in _ORD_TENS:
-            o = _TENS.get(w)
-            is_ord = o is None
-            if is_ord:
-                o = _ORD_TENS[w]
-            if val is None:
-                val = o
-            elif isinstance(val, str):
-                val = cat(o)
-            else:
-                val = val + o if val % 100 == 0 else cat(o)
-            prev_kind = "tens"
-            if is_ord:
-                ordinal_suffix = True
-                j += 1
-                break
-        elif w.isdigit() and val is None:
-            val = int(w)
-            prev_kind = "ones"
-        elif w in _MULTIPLIERS or w in _ORD_MULT:
-            mult = _MULTIPLIERS.get(w)
-            is_ord = mult is None
-            if is_ord:
-                mult = _ORD_MULT[w]
-            if val is None:
-                val = mult
-            elif isinstance(val, str):
-                val = int(val) * mult
-            else:
-                before = val // 1000 * 1000
-                residual = val % 1000
-                val = before + max(residual, 1) * mult
-            prev_kind = "mult"
-            if is_ord:
-                ordinal_suffix = True
-                j += 1
-                break
-        else:
-            break
-        j += 1
-
-    if val is None:
-        return None
-    if ordinal_suffix:
-        o_val = int(val)
-        sign = "-" if negative else ""
-        return f"{sign}{o_val}{_ordinal_suffix(o_val)}", j
-
-    # Concat-mode digit strings stay verbatim ("zero zero seven" -> 007).
-    total: Any = val
-    text = None
-    # Decimal tail: point <number words...> [multiplier]. Whisper appends
-    # the digit string of ANY number word after "point" ("point twenty
-    # oh" -> .200, "point nineteen" -> .19), not only single digits.
-    if j < n and words[j] == "point" and j + 1 < n and \
-            _dec_digit(words[j + 1]) is not None:
-        digits = []
-        j += 1
-        while j < n and _dec_digit(words[j]) is not None:
-            digits.append(_dec_digit(words[j]))
-            j += 1
-        frac = "".join(digits)
-        if j < n and words[j] in _MULTIPLIERS and _MULTIPLIERS[words[j]] > 100:
-            total = float(f"{int(total)}.{frac}") * _MULTIPLIERS[words[j]]
-            j += 1
-        else:
-            # Keep the spoken digit string verbatim ("two point oh" -> 2.0).
-            text = f"{'-' if negative else ''}{total}.{frac}"
-            total = float(text)
-    if text is None:
-        if negative:
-            # Sign survives concat strings too ("minus ninety oh zero"
-            # -> -9000-as-string).
-            total = ("-" + total) if isinstance(total, str) else -total
-        text = str(total) if isinstance(total, str) else _fmt(total)
-    # Currency words -> the leaderboard's symbol form ("$2", "¢50"); the
-    # sign is dropped with currency, matching whisper ("minus five
-    # dollars" -> "$5").
-    if j < n and words[j] in _CURRENCY_WORDS and \
-            float(total) == int(float(total)):
-        sym = _CURRENCY_WORDS[words[j]]
-        text = text.lstrip("-")
-        return (f"¢{text}" if sym == "¢" else f"{sym}{text}"), j + 1
-    return text, j
+        pieces.append(seg)
+        if k != len(segs) - 1:
+            last = seg.rsplit(maxsplit=2)[-1]
+            pieces.append("point five"
+                          if last in _DECIMALS or last in _MULTIPLIERS
+                          else "and a half")
+    s = " ".join(pieces)
+    s = re.sub(r"([a-z])([0-9])", r"\1 \2", s)
+    s = re.sub(r"([0-9])([a-z])", r"\1 \2", s)
+    s = re.sub(r"([0-9])\s+(st|nd|rd|th|s)\b", r"\1\2", s)
+    return s
 
 
 def _normalize_numbers(words: List[str]) -> List[str]:
-    """Collapse number-word runs into digit form ("twenty two" -> "22",
-    "a hundred and five" -> "105", "three point one four" -> "3.14",
-    "twenty first" -> "21st", "two dollars" -> "$2")."""
-    words = _split_number_hyphens(words)
+    """Spoken-number transducer with leaderboard-exact semantics.
+
+    A single left-to-right pass holding a pending value (int for
+    arithmetic composition, str once digits concatenate or a decimal
+    point opens) and a pending prefix sign/currency symbol. Semantics
+    replicated branch-for-branch from the whisper normalizer the
+    leaderboard uses (the reference vendors it as
+    ``asr_postprocess/ml_normalizer.py``; golden tests + a fuzz harness
+    in tests/test_eval.py pin the parity): digit runs concatenate
+    ("nineteen oh five" -> 1905), regular compositions add ("three
+    hundred five" -> 305), multipliers scale string/zero values only
+    when the product is integral ("point two hundred" -> 20, but
+    "zero point twelve five hundred" -> 0.125 100), suffixed forms
+    flush immediately with the spoken suffix ("one second" -> 12nd),
+    currency words become prefix symbols of the pending number
+    ("seven cents" -> ¢7), and "one" is only re-worded by the
+    standalone-digit postprocess in the caller.
+    """
+    from fractions import Fraction
+
     out: List[str] = []
-    i = 0
-    while i < len(words):
-        w = words[i]
-        # Decimal tail attaching to an already-digit token: "22 point 5".
-        if (w == "point" and out and out[-1].lstrip("-").isdigit()
-                and i + 1 < len(words)
-                and _dec_digit(words[i + 1]) is not None):
-            digits = []
-            j = i + 1
-            while j < len(words) and _dec_digit(words[j]) is not None:
-                digits.append(_dec_digit(words[j]))
-                j += 1
-            out[-1] = out[-1] + "." + "".join(digits)
-            i = j
+    acc = None          # pending value: int | digit-string | None
+    pre = None          # pending "+-£€$¢" prefix
+
+    def frac_of(x):
+        try:
+            return Fraction(str(x))
+        except (ValueError, ZeroDivisionError):
+            return None
+
+    def flush():
+        nonlocal acc, pre
+        text = str(acc)
+        if pre is not None:
+            text = pre + text
+        acc = None
+        pre = None
+        out.append(text)
+
+    def flush_suffixed(text):
+        nonlocal acc, pre
+        if pre is not None:
+            text = pre + text
+        acc = None
+        pre = None
+        out.append(text)
+
+    skip = False
+    n = len(words)
+    for i, w in enumerate(words):
+        if skip:
+            skip = False
             continue
-        if (_is_run_word(w) or w in ("minus", "negative")
-                or (w.isdigit() and i + 1 < len(words)
-                    and words[i + 1] in _MULTIPLIERS)):
-            parsed = _parse_number(words, i)
-            if parsed is not None:
-                text, j = parsed
-                out.append(text)
-                i = j
-                continue
-        if w in ("minus", "negative") and i + 1 < len(words) and \
-                _in_number_vocab(words[i + 1]):
-            # Whisper glues the sign to the next NUMBER-VOCAB token even
-            # when no number parses ("ninety minus dollar" -> "90
-            # -dollar"); chained signs collapse to the last one.
-            if words[i + 1] in ("minus", "negative"):
-                i += 1
-                continue
-            out.append("-" + words[i + 1])
-            i += 2
-            continue
-        if w == "point" and i + 1 < len(words):
-            if _dec_digit(words[i + 1]) is not None:
-                # Fraction with no integer part: ".200".
-                digits = []
-                j = i + 1
-                while j < len(words) and _dec_digit(words[j]) is not None:
-                    digits.append(_dec_digit(words[j]))
-                    j += 1
-                out.append("." + "".join(digits))
-                i = j
-                continue
-            if _in_number_vocab(words[i + 1]):
-                # Bare "point" before a number-vocab word is consumed
-                # ("the point hundredth" -> "the 100th").
-                i += 1
-                continue
-        out.append(w)
-        i += 1
+        prev = words[i - 1] if i else None
+        nxt = words[i + 1] if i + 1 < n else None
+        nxt_numeric = nxt is not None and _NUMERIC_RE.match(nxt)
+        signed = w[:1] in _PREFIX_SYMBOLS
+        bare = w[1:] if signed else w
+
+        if _NUMERIC_RE.match(bare):
+            # Literal arabic number (possibly signed / currency-glued).
+            if acc is not None:
+                if isinstance(acc, str) and acc.endswith("."):
+                    # decimal / IP-style concatenation
+                    acc = acc + w
+                    continue
+                flush()
+            if signed:
+                pre = w[0]
+            acc = int(bare) if "." not in bare else bare
+        elif w not in _NUMBER_WORDS:
+            if acc is not None:
+                flush()
+            flush_suffixed(w)
+        elif w in _ZEROS:
+            # `or ""`, not an is-None check: whisper ERASES a pending
+            # int 0 here ("zero million zero second" -> 02nd), kept
+            # bug-for-bug.
+            acc = str(acc or "") + "0"
+        elif w in _ONES:
+            o = _ONES[w]
+            if acc is None:
+                acc = o
+            elif isinstance(acc, str) or prev in _ONES:
+                if prev in _TENS and o < 10:
+                    acc = str(acc)[:-1] + str(o)   # twenty one -> 21
+                else:
+                    acc = str(acc) + str(o)
+            elif o < 10:
+                acc = acc + o if acc % 10 == 0 else str(acc) + str(o)
+            else:
+                acc = acc + o if acc % 100 == 0 else str(acc) + str(o)
+        elif w in _ONES_SUFFIXED:
+            d, suf = _ONES_SUFFIXED[w]
+            o = int(d)
+            if acc is None:
+                flush_suffixed(d + suf)
+            elif isinstance(acc, str) or prev in _ONES:
+                if prev in _TENS and o < 10:
+                    flush_suffixed(str(acc)[:-1] + d + suf)
+                else:
+                    flush_suffixed(str(acc) + d + suf)
+            elif o < 10:
+                flush_suffixed(str(acc + o) + suf if acc % 10 == 0
+                               else str(acc) + d + suf)
+            else:
+                flush_suffixed(str(acc + o) + suf if acc % 100 == 0
+                               else str(acc) + d + suf)
+        elif w in _TENS:
+            t = _TENS[w]
+            if acc is None:
+                acc = t
+            elif isinstance(acc, str):
+                acc = str(acc) + str(t)
+            else:
+                acc = acc + t if acc % 100 == 0 else str(acc) + str(t)
+        elif w in _TENS_SUFFIXED:
+            d, suf = _TENS_SUFFIXED[w]
+            t = int(d)
+            if acc is None:
+                flush_suffixed(d + suf)
+            elif isinstance(acc, str):
+                flush_suffixed(str(acc) + d + suf)
+            else:
+                flush_suffixed(str(acc + t) + suf if acc % 100 == 0
+                               else str(acc) + d + suf)
+        elif w in _MULTIPLIERS:
+            m = _MULTIPLIERS[w]
+            if acc is None:
+                acc = m
+            elif isinstance(acc, str) or acc == 0:
+                f = frac_of(acc)
+                p = f * m if f is not None else None
+                if p is not None and p.denominator == 1:
+                    acc = p.numerator
+                else:
+                    flush()
+                    acc = m
+            else:
+                acc = acc // 1000 * 1000 + acc % 1000 * m
+        elif w in _MULT_SUFFIXED:
+            m, suf = _MULT_SUFFIXED[w]
+            if acc is None:
+                flush_suffixed(str(m) + suf)
+            elif isinstance(acc, str):
+                f = frac_of(acc)
+                p = f * m if f is not None else None
+                if p is not None and p.denominator == 1:
+                    flush_suffixed(str(p.numerator) + suf)
+                else:
+                    saved = str(acc)
+                    acc = None
+                    flush_suffixed(saved)
+                    flush_suffixed(str(m) + suf)
+            else:
+                total = acc // 1000 * 1000 + acc % 1000 * m
+                acc = None
+                flush_suffixed(str(total) + suf)
+        elif w in _SIGN_WORDS:
+            if acc is not None:
+                flush()
+            if (nxt in _NUMBER_WORDS) or nxt_numeric:
+                pre = _SIGN_WORDS[w]
+            else:
+                flush_suffixed(w)
+        elif w in _CURRENCY_WORDS:
+            # Currency words become the PREFIX of the number just built
+            # ("seven cents" -> ¢7); with no pending number the word
+            # survives.
+            if acc is not None:
+                pre = _CURRENCY_WORDS[w]
+                flush()
+            else:
+                flush_suffixed(w)
+        elif w in _SUFFIXERS or w == "per":
+            if w == "per":
+                if nxt == "cent":
+                    if acc is not None:
+                        text = str(acc) + "%"
+                        acc = None
+                        flush_suffixed(text)
+                        skip = True
+                    else:
+                        flush_suffixed(w)
+                else:
+                    if acc is not None:
+                        flush()
+                    flush_suffixed(w)
+            else:
+                if acc is not None:
+                    text = str(acc) + _SUFFIXERS[w]
+                    acc = None
+                    flush_suffixed(text)
+                else:
+                    flush_suffixed(w)
+        elif w in _SPECIALS:
+            # Shared guard first (whisper ordering): a special followed
+            # by a non-number word flushes and survives as a word.
+            if nxt not in _NUMBER_WORDS and not nxt_numeric:
+                if acc is not None:
+                    flush()
+                flush_suffixed(w)
+            elif w == "and":
+                # Consumed after ANY multiplier ("hundred and five",
+                # even "hundred and dollars"); elsewhere it flushes.
+                if prev not in _MULTIPLIERS:
+                    if acc is not None:
+                        flush()
+                    flush_suffixed(w)
+            elif w in ("double", "triple"):
+                if nxt in _ONES or nxt in _ZEROS:
+                    d = str(_ONES.get(nxt, 0))
+                    acc = str(acc or "") + d * (2 if w == "double" else 3)
+                    skip = True
+                else:
+                    if acc is not None:
+                        flush()
+                    flush_suffixed(w)
+            elif w == "point":
+                if nxt in _DECIMALS or nxt_numeric:
+                    acc = str(acc or "") + "."    # falsy-0 erased, as above
+                # A number-vocab next that can't open a fraction
+                # swallows the "point" ("the point hundredth" -> 100th).
+        else:  # pragma: no cover - table exhaustive
+            if acc is not None:
+                flush()
+            flush_suffixed(w)
+
+    if acc is not None:
+        flush()
     return out
 
 
@@ -700,10 +706,11 @@ class EnglishTextNormalizer:
     bracketed/parenthesized asides -> fillers -> apostrophe spacing ->
     contraction + title replacers (incl. the aggressive "'s -> is") ->
     digit-comma / period rules -> symbol & diacritic removal keeping
-    ``.%$¢€£`` -> word-level number normalization (num2words-grade:
-    hyphenated compounds, "a hundred", compound ordinals, decimals with
-    spoken "oh", currency words -> symbols) -> British->American spelling
-    table -> currency/percent cleanup, standalone "1" -> "one".
+    ``.%$¢€£`` -> the spoken-number transducer (:func:`_normalize_numbers`:
+    digit-run concatenation, decimals incl. bare fractions, "and a half",
+    spoken-suffix ordinals/plurals, sign/currency prefixes) ->
+    British->American spelling table -> currency/percent cleanup,
+    standalone "1" -> "one".
     """
 
     _FILLERS = r"\b(hmm|mm|mhm|mmm|uh|um)\b"
@@ -722,7 +729,7 @@ class EnglishTextNormalizer:
         s = re.sub(r"\.([^0-9]|$)", r" \1", s)    # periods not in numbers
         s = _remove_symbols_and_diacritics(s, keep=".%$¢€£")
 
-        words = _normalize_numbers(s.split())
+        words = _normalize_numbers(_number_preprocess(s).split())
         words = [_SPELLINGS.get(w, w) for w in words]
         s = " ".join(words)
 
@@ -733,16 +740,20 @@ class EnglishTextNormalizer:
         s = re.sub(r"([€£$])([0-9]+)(?: and)? ¢([0-9]{1,2})\b",
                    lambda m: f"{m.group(1)}{m.group(2)}.{int(m.group(3)):02d}",
                    s)
-        s = re.sub(r"[€£$]0\.([0-9]{1,2})\b", lambda m: f"¢{int(m.group(1))}",
+        # NOTE: the dot is unescaped in the leaderboard's extract_cents —
+        # it matches ANY character ("$0 12" -> ¢12, "$093" -> ¢3). Kept
+        # bug-for-bug.
+        s = re.sub(r"[€£$]0.([0-9]{1,2})\b", lambda m: f"¢{int(m.group(1))}",
                    s)
-        # "N percent" / "N per cent" -> "N%" (whisper suffixers).
-        s = re.sub(r"(\d(?:\.\d+)?) per ?cent\b", r"\1%", s)
         # Readability parity: a bare "1" is written "one" — BEFORE the
         # symbol strips, so "1%" -> "one%" -> "one" exactly as whisper's
         # postprocess ordering produces.
         s = re.sub(r"\b1(s?)\b", r"one\1", s)
-        # Leftover symbols not glued to digits become spaces.
-        s = re.sub(r"[.$¢€£](?![0-9])", " ", s)
-        s = re.sub(r"(?<![0-9])%", " ", s)
+        # Leftover symbols not glued to digits become spaces. The
+        # CONSUMING form matters: in "€.one" the first match eats "€."
+        # so the inner "." survives (" .one"), exactly like the
+        # leaderboard's cleanup; trailing symbols also survive there.
+        s = re.sub(r"[.$¢€£]([^0-9])", r" \1", s)
+        s = re.sub(r"([^0-9])%", r"\1 ", s)
         s = re.sub(r"\s+", " ", s)
         return s.strip()
