@@ -112,6 +112,9 @@ async function createSessionWithRetry() {
   const base = state.config.backendUrl;
   // Retry forever with 2 s backoff, like the reference client.
   for (;;) {
+    // One status per iteration — a specific condition (capacity) must
+    // not be immediately repainted by the generic retry message.
+    let status = "waiting for server...";
     try {
       const resp = await fetch(
         `${base}/session/create/?language=${encodeURIComponent(state.language)}`,
@@ -121,14 +124,12 @@ async function createSessionWithRetry() {
         const data = await resp.json();
         return data.session_id;
       }
-      if (resp.status === 503) {
-        setStatus("server at capacity...", "warn");
-      }
+      if (resp.status === 503) status = "server at capacity...";
       log("warn", `session create failed: HTTP ${resp.status}`);
     } catch (err) {
       log("warn", `session create error: ${err}`);
     }
-    setStatus("waiting for server...", "warn");
+    setStatus(status, "warn");
     refreshBackendIndicator();
     await new Promise((r) => setTimeout(r, 2000));
     if (!state.running) throw new Error("cancelled");
@@ -218,11 +219,18 @@ function setRecordingUI(on) {
 async function start() {
   if (state.running) return;
   state.running = true;
+  // Epoch guard: a stop() (or a newer start()) during any await below
+  // invalidates THIS start — without it, granting the mic permission
+  // after clicking stop resumed capture, wave, and polling against a
+  // null session while the UI showed Paused.
+  const epoch = (state.startEpoch = (state.startEpoch || 0) + 1);
+  const live = () => state.running && state.startEpoch === epoch;
   setRecordingUI(true);
   setStatus("connecting...", "warn");
 
   try {
     state.sessionId = await createSessionWithRetry();
+    if (!live()) throw new Error("cancelled");
     setStatus("listening", "ok");
     refreshBackendIndicator();
 
@@ -234,8 +242,10 @@ async function start() {
         noiseSuppression: true,
       },
     });
+    if (!live()) throw new Error("cancelled");
     state.audioContext = new AudioContext({ sampleRate: 16000 });
     await state.audioContext.audioWorklet.addModule("audio-processor.js");
+    if (!live()) throw new Error("cancelled");
     state.sourceNode = state.audioContext.createMediaStreamSource(
       state.mediaStream
     );
@@ -259,10 +269,15 @@ async function start() {
     state.pollTimer = setInterval(poll, state.config.pollIntervalMs);
   } catch (err) {
     // Mic denied / worklet load failed / cancelled: tear down and give
-    // the UI back instead of leaving the toggle stuck.
-    log("warn", `start failed: ${err}`);
-    setStatus(`start failed: ${err.message || err}`, "warn");
-    showError(`Could not start recording: ${err.message || err}`);
+    // the UI back instead of leaving the toggle stuck. A cancelled
+    // start (user hit stop mid-setup) cleans up quietly — stop() again
+    // releases anything created after the first stop() ran.
+    const cancelled = err && err.message === "cancelled";
+    if (!cancelled) {
+      log("warn", `start failed: ${err}`);
+      setStatus(`start failed: ${err.message || err}`, "warn");
+      showError(`Could not start recording: ${err.message || err}`);
+    }
     await stop();
   }
 }

@@ -273,3 +273,25 @@ def test_windowed_path_uses_latency_bucket(tiny_pipeline):
     assert o_sub["text"] == o_pad["text"]
     # The sub-chunk pipeline actually compiled/used the 2 s featurizer.
     assert 2.0 in sub._featurizers
+
+
+def test_transcribe_batch_mixed_forced_and_detected(tiny_pipeline):
+    """A coalesced batch mixing a forced-language row with a None row
+    under an auto-detect pipeline must DETECT the None row's language,
+    not force English."""
+    from thewhisper_tpu.config import LANGUAGES
+    from thewhisper_tpu.pipeline import ASRPipeline
+
+    pipe = ASRPipeline(tiny_pipeline.engine,
+                       tokenizer=tiny_pipeline.tokenizer,
+                       chunk_length_s=3, language=None)
+    audios = [_audio(1.0, seed=1), _audio(1.0, seed=2)]
+    forced = LANGUAGES[1]
+    outs = pipe.transcribe_batch(
+        audios, generate_kwargs={"max_new_tokens": 4, "language": None},
+        languages=[forced, None])
+    # Row 1's language is whatever detection produced (a valid code),
+    # and it matches what pure auto-detection yields for that audio.
+    auto = pipe.transcribe_batch(
+        [audios[1]], generate_kwargs={"max_new_tokens": 4, "language": None})
+    assert outs[1]["text"] == auto[0]["text"]

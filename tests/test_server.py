@@ -353,3 +353,47 @@ def test_create_with_language_and_health_backend(server):
     sid = r.json()["session_id"]
     # FakeBackend has no language attr -> create still succeeds.
     assert httpx.post(f"{base}/session/{sid}/end").status_code == 200
+
+
+def test_create_rejects_unknown_language(server):
+    """An invalid language code 400s at create — it must never reach the
+    coalesced batch decode, where the prompt-build error would fail
+    every concurrent session's request in that batch."""
+    import httpx
+
+    base = f"http://127.0.0.1:{server.port}"
+    r = httpx.post(f"{base}/session/create/", params={"language": "xx"})
+    assert r.status_code == 400
+    assert "language" in r.json()["detail"]
+    # Valid codes still create.
+    assert "session_id" in httpx.post(
+        f"{base}/session/create/", params={"language": "de"}).json()
+
+
+def test_acquire_survives_end_while_queued():
+    """A request queued behind a held session lock gets a clean 404 when
+    the session is ended mid-wait (not an orphaned-pipeline write)."""
+    import threading
+    import time as _time
+
+    from thewhisper_tpu.server.http import SessionManager, SessionNotFound
+
+    manager = SessionManager(lambda: FakeBackend(), chunk_length_s=4,
+                             use_vad=False)
+    sid = manager.create()
+    pipe, lock = manager._acquire(sid)          # hold like a live request
+    errs = []
+
+    def late_request():
+        try:
+            manager.add_chunk(sid, np.zeros(100, np.float32))
+        except SessionNotFound:
+            errs.append("not_found")
+
+    t = threading.Thread(target=late_request)
+    t.start()
+    _time.sleep(0.1)                            # let it block on the lock
+    manager.end(sid)
+    lock.release()
+    t.join(timeout=5)
+    assert errs == ["not_found"]

@@ -255,9 +255,23 @@ class ASRPipeline:
             max((len(w) for w in windows), default=0) / SAMPLE_RATE)
         row_languages = None
         if languages is not None and any(l for l in languages):
+            # None entries fall back to the generate/pipeline language —
+            # and when THAT is None (auto-detect mode), they are
+            # detected, not silently forced to English: a coalesced
+            # batch may mix forced-language sessions with auto ones.
+            fill: List[Optional[str]] = [language] * len(windows)
+            need = [i for i in range(len(windows))
+                    if language is None
+                    and not (i < len(languages) and languages[i])]
+            if need:
+                feat = self._featurizer_for(bucket_s)
+                mel = feat(_pad_stack(windows, feat.n_samples))
+                codes, _ = self.engine.detect_language(mel)
+                for i in need:
+                    fill[i] = str(codes[i])
             row_languages = [
                 languages[i] if i < len(languages) and languages[i]
-                else (language or "en")
+                else (fill[i] or "en")
                 for i in range(len(windows))]
         opts = GenerationOptions(
             max_new_tokens=max_new_tokens, language=language, task=task,

@@ -40,6 +40,13 @@ class SessionNotFound(KeyError):
     to 404 (internal KeyErrors must surface as 500s)."""
 
 
+class BadRequest(ValueError):
+    """Client-side input error detected before any work (unknown language
+    code at session create) -> 400. Malformed audio payloads keep the
+    reference's 500 (its FastAPI endpoints surface them as plain
+    exceptions)."""
+
+
 class ServerFull(RuntimeError):
     """Session table is full of ACTIVE sessions (every candidate victim's
     lock is held by a request thread) — mapped to 503 so the client gets a
@@ -98,7 +105,17 @@ class SessionManager:
         """``language``: optional forced language for this session (the
         desktop client's dropdown). Applied when the backend supports a
         per-session language (``QueuedBackend``); other backends keep
-        their own configuration (remote gateways use TRITON_LANG_ID)."""
+        their own configuration (remote gateways use TRITON_LANG_ID).
+
+        An unknown code raises ValueError -> HTTP 400 HERE, not later:
+        inside the batched coalescer a bad prompt language would fail
+        the whole coalesced batch and 500 every concurrent session's
+        request riding it."""
+        if language is not None:
+            from thewhisper_tpu.config import LANGUAGES
+
+            if language not in LANGUAGES:
+                raise BadRequest(f"unknown language code: {language!r}")
         session_id = secrets.token_urlsafe(16)
         backend = self.backend_factory()
         if language and hasattr(backend, "language"):
@@ -116,30 +133,52 @@ class SessionManager:
             self._last_seen[session_id] = time.monotonic()
         return session_id
 
-    def _get(self, session_id: str) -> Tuple[StreamingPipeline, threading.Lock]:
-        with self._global:
-            pipe = self._sessions.get(session_id)
-            lock = self._locks.get(session_id)
-            if pipe is not None:
+    def _acquire(self, session_id: str) -> Tuple[StreamingPipeline, threading.Lock]:
+        """Look up a session and ACQUIRE its lock atomically with table
+        membership (caller releases). Taking the lock under ``_global``
+        closes the window where eviction saw the lock unlocked between a
+        lookup and the caller's ``with lock:`` — the last way a live
+        request's session could be yanked mid-flight. If the lock is
+        busy, wait OUTSIDE ``_global`` (never block the table on a long
+        decode), then re-verify membership: the session may have been
+        ended or idle-evicted while this request queued."""
+        while True:
+            with self._global:
+                pipe = self._sessions.get(session_id)
+                lock = self._locks.get(session_id)
+                if pipe is None:
+                    raise SessionNotFound(session_id)
                 self._last_seen[session_id] = time.monotonic()
-        if pipe is None:
+                if lock.acquire(blocking=False):
+                    return pipe, lock
+            lock.acquire()                     # wait for the current request
+            with self._global:
+                if self._sessions.get(session_id) is pipe:
+                    self._last_seen[session_id] = time.monotonic()
+                    return pipe, lock
+            lock.release()
             raise SessionNotFound(session_id)
-        return pipe, lock
 
     def add_chunk(self, session_id: str, audio: np.ndarray) -> None:
-        pipe, lock = self._get(session_id)
-        with lock:
+        pipe, lock = self._acquire(session_id)
+        try:
             pipe.add_new_chunk(audio)
+        finally:
+            lock.release()
 
     def process(self, session_id: str):
-        pipe, lock = self._get(session_id)
-        with lock:
+        pipe, lock = self._acquire(session_id)
+        try:
             return pipe.process_new_chunk()
+        finally:
+            lock.release()
 
     def clear(self, session_id: str) -> None:
-        pipe, lock = self._get(session_id)
-        with lock:
+        pipe, lock = self._acquire(session_id)
+        try:
             pipe.clear()
+        finally:
+            lock.release()
 
     def end(self, session_id: str) -> None:
         with self._global:
@@ -246,6 +285,8 @@ def _make_handler(manager: SessionManager):
                 self._send(404, {"detail": f"Session {e.args[0]} not found"})
             except ServerFull as e:
                 self._send(503, {"detail": str(e)})
+            except BadRequest as e:
+                self._send(400, {"detail": str(e)})
             except Exception as e:  # parity: reference returns 500 + detail
                 self._send(500, {"detail": str(e)})
 
