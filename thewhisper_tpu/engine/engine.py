@@ -131,9 +131,12 @@ class WhisperEngine:
         cross-KV is computed from the same encoder states with the draft's
         own projections, the distil-whisper deployment shape). Applies to
         greedy calls only (``num_beams == 1``, ``temperature == 0``).
-        ``spec_ngram=True`` speculates via free prompt-lookup drafting
-        instead of a model (no extra weights; wins on repetitive speech,
-        never meaningfully loses — verify costs ~1.01x a step).
+        ``spec_ngram=True`` speculates via prompt-lookup drafting
+        instead of a model (no extra weights). Honest cost model
+        (tools/spec_honesty_probe.py): an ngram round costs ~2.6x a
+        plain step end to end, so it wins only when output repeats
+        (>= ~2.6 tokens/round; 1.62x measured on a repetitive run) and
+        LOSES (~0.6x) on natural English — keep it opt-in.
 
         ``mesh``: a ``(dp, tp)`` ``jax.sharding.Mesh`` for multi-chip
         serving. Pass params already placed with
@@ -179,6 +182,8 @@ class WhisperEngine:
             jnp.asarray(suppress_mask(arch.vocab_size, begin_suppress_tokens))
             if len(begin_suppress_tokens) else None)
         self._jit_cache: Dict[Tuple, Any] = {}
+        self._prompt_device_cache: Dict[Tuple, Any] = {}
+        self._seed_device_cache: Dict[int, Any] = {}
         self._lock = threading.Lock()
         # Persistent XLA compile cache: generate-program compiles take
         # minutes cold; warm restarts reload them in seconds. Opt out with
@@ -431,6 +436,41 @@ class WhisperEngine:
                 if dp > 1 and x.shape[0] % dp == 0 else PartitionSpec())
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
+    def _device_prompt(self, options: GenerationOptions, bb: int,
+                       languages) -> jnp.ndarray:
+        """Device-resident prompt rows, cached per (bucket, languages).
+
+        The prompt is identical for every call with the same language
+        config, but ``jnp.asarray`` re-uploads it each time — on the
+        tunneled chip that is one more serialized host->device op per
+        window of the pipelined long-form path. Bounded cache (detected
+        per-sample language tuples can be diverse)."""
+        langs_t = (tuple(str(l) for l in list(languages)[:bb])
+                   if languages is not None and len(languages) else None)
+        key = (bb, options.language, options.task, langs_t)
+        with self._lock:
+            cached = self._prompt_device_cache.get(key)
+        if cached is not None:
+            return cached
+        arr = self._place(jnp.asarray(self._prompt_rows(
+            options, bb, languages)))
+        with self._lock:
+            if len(self._prompt_device_cache) >= 512:
+                self._prompt_device_cache.clear()
+            self._prompt_device_cache[key] = arr
+        return arr
+
+    def _device_seed(self, seed: int) -> jnp.ndarray:
+        with self._lock:
+            cached = self._seed_device_cache.get(seed)
+        if cached is None:
+            cached = jnp.uint32(seed)
+            with self._lock:
+                if len(self._seed_device_cache) >= 64:
+                    self._seed_device_cache.clear()
+                self._seed_device_cache[seed] = cached
+        return cached
+
     def _prep_proposals(self, draft_tokens, bb: int, max_new: int):
         """Normalize caller-supplied proposal tokens to (bb, max_new)."""
         if draft_tokens is None:
@@ -476,7 +516,7 @@ class WhisperEngine:
         if bb != b:
             mel = _pad_batch(mel, bb)
 
-        prompt_arr = jnp.asarray(self._prompt_rows(options, bb, languages))
+        prompt_arr = self._device_prompt(options, bb, languages)
         p = prompt_arr.shape[1]
 
         temperature = (float(options.temperature)
@@ -493,8 +533,8 @@ class WhisperEngine:
             options.return_timestamps, num_beams=options.num_beams,
             temperature=temperature, proposals=props is not None)
         t0 = time.perf_counter()
-        result = fn(self.params, self._place(mel), self._place(prompt_arr),
-                    jnp.uint32(options.seed),
+        result = fn(self.params, self._place(mel), prompt_arr,
+                    self._device_seed(options.seed),
                     props if props is not None else self.draft_params)
         if not sync:
             return PendingResult(self, result, b, p, options, t0)
@@ -542,7 +582,7 @@ class WhisperEngine:
         if bb != b:
             audio = _pad_batch(audio, bb)
 
-        prompt_arr = jnp.asarray(self._prompt_rows(options, bb, languages))
+        prompt_arr = self._device_prompt(options, bb, languages)
         p = prompt_arr.shape[1]
         temperature = (float(options.temperature)
                        if options.num_beams == 1 else 0.0)
@@ -556,8 +596,8 @@ class WhisperEngine:
             temperature=temperature, use_pallas=use_pallas,
             proposals=props is not None)
         t0 = time.perf_counter()
-        result = fn(self.params, self._place(audio), self._place(prompt_arr),
-                    jnp.uint32(options.seed),
+        result = fn(self.params, self._place(audio), prompt_arr,
+                    self._device_seed(options.seed),
                     props if props is not None else self.draft_params)
         if not sync:
             return PendingResult(self, result, b, p, options, t0)
