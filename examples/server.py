@@ -7,6 +7,11 @@ Environment (same variables as the reference):
     TRITON_URL / TRITON_AUTH_TOKEN / TRITON_MODEL_NAME / TRITON_LANG_ID
     ASR_MODEL: HF checkpoint directory for the local backend
 
+Extensions (this framework only):
+    ASR_MODEL_SIZE ("S"/"S+"/"XL"), ASR_DRAFT, ASR_REUSE_PREV=1,
+    ASR_WARMUP=0, ASR_LATENCY_BUCKETS="2.5,5" (sub-chunk encoder
+    buckets for early-stream ticks)
+
 Unlike the reference (one shared pipeline for all sessions,
 ``server.py:26-28``), every session has its own state machine; decode
 requests from all sessions are batched into single TPU calls.
@@ -47,10 +52,19 @@ def main():
         # ASR_REUSE_PREV=1: cross-tick proposal drafting (the previous
         # tick's tokens speculate each re-decode; rows associate by batch
         # position, which only ever affects speed, never content).
+        # ASR_LATENCY_BUCKETS="2.5,5": opt-in sub-chunk encoder buckets —
+        # a short early-stream buffer encodes at the smallest fitting
+        # bucket (2.5 s encode+crossKV is ~2.2 ms vs 7.7 ms for the full
+        # 10 s bucket, tools/ttft_probe.py), cutting first-tick latency.
+        # Off by default: exact reference behavior, and flexible-chunk
+        # position truncation should be validated on real weights first.
+        buckets = [float(b) for b in
+                   os.getenv("ASR_LATENCY_BUCKETS", "").split(",") if b]
         asr = ASRPipeline(
             model, chunk_length_s=config.chunk_length_s,
             model_size=os.getenv("ASR_MODEL_SIZE") or None,
             draft=os.getenv("ASR_DRAFT") or None,
+            latency_buckets=buckets or None,
             reuse_previous_tokens=os.getenv("ASR_REUSE_PREV", "0") == "1")
 
         if os.getenv("ASR_WARMUP", "1") != "0":

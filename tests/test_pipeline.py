@@ -295,3 +295,23 @@ def test_transcribe_batch_mixed_forced_and_detected(tiny_pipeline):
     auto = pipe.transcribe_batch(
         [audios[1]], generate_kwargs={"max_new_tokens": 4, "language": None})
     assert outs[1]["text"] == auto[0]["text"]
+
+
+def test_pipelined_dispatch_beam_matches_sequential(tiny_pipeline):
+    """Beam long-form (forced language, no fallback) also takes the
+    pipelined branch — output must equal sequential dispatch."""
+    import thewhisper_tpu.pipeline as pl
+
+    audio = _audio(10.0, seed=11)
+    kw = {"max_new_tokens": 6, "language": "en", "num_beams": 2}
+    old = pl.PIPELINE_DEPTH
+    try:
+        pl.PIPELINE_DEPTH = 0
+        seq = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0)
+        pl.PIPELINE_DEPTH = 2
+        pip = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0)
+    finally:
+        pl.PIPELINE_DEPTH = old
+    assert seq == pip
