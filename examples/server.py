@@ -58,8 +58,13 @@ def main():
         # 10 s bucket, tools/ttft_probe.py), cutting first-tick latency.
         # Off by default: exact reference behavior, and flexible-chunk
         # position truncation should be validated on real weights first.
-        buckets = [float(b) for b in
-                   os.getenv("ASR_LATENCY_BUCKETS", "").split(",") if b]
+        raw = os.getenv("ASR_LATENCY_BUCKETS", "")
+        try:
+            buckets = [float(b) for b in raw.split(",") if b.strip()]
+        except ValueError:
+            raise SystemExit(
+                f"ASR_LATENCY_BUCKETS must be comma-separated seconds "
+                f"(e.g. \"2.5,5\"), got: {raw!r}")
         asr = ASRPipeline(
             model, chunk_length_s=config.chunk_length_s,
             model_size=os.getenv("ASR_MODEL_SIZE") or None,
@@ -78,9 +83,18 @@ def main():
             # BatchedTranscriber's max_batch=8): the first multi-session
             # tick would otherwise pay a minutes-long cold compile while
             # holding session locks.
+            # Each configured latency bucket is its own T_mel, hence its
+            # own executable per batch bucket — warm them all, or the
+            # first short-buffer live tick pays the cold compile this
+            # warmup exists to prevent.
+            sizes = [one] + [
+                np.zeros(int(b * 16000) - 1600, np.float32)
+                for b in asr.latency_buckets
+                if b < asr.model_chunk_length_s]
             for nb in (1, 2, 4, 8):
-                asr.transcribe_batch([one] * nb, return_timestamps="word",
-                                     generate_kwargs=gk)
+                for buf in sizes:
+                    asr.transcribe_batch([buf] * nb, return_timestamps="word",
+                                         generate_kwargs=gk)
                 if asr._reuse_previous:
                     # Immediately repeat at the SAME size: the first call
                     # seeded _prev_gen_tokens for this batch shape, the
