@@ -342,6 +342,40 @@ def test_english_normalizer_decimals():
     assert n("the point is clear") == "the point is clear"
 
 
+def test_english_normalizer_transducer_branches():
+    """Golden cases for the round-3 transducer rewrite — each output
+    verified against the transformers-vendored leaderboard normalizer
+    (the fuzz test covers these statistically; these document the
+    branch semantics individually)."""
+    n = EnglishTextNormalizer()
+    # Decimal attach to a pending LITERAL value; bare/signed fractions.
+    assert n("one point five") == "one.5"
+    assert n("minus point five") == "-.5"
+    assert n("minus one point five") == "-one.5"
+    # Fraction x multiplier only when the product is integral.
+    assert n("point two hundred") == "20"
+    assert n("one point five million") == "1500000"
+    assert n("zero point twelve five hundred") == "0.125 100"
+    # The one fraction idiom: "and a half".
+    assert n("one and a half million") == "1500000"
+    assert n("five and a half percent") == "5.5%"
+    # Spoken-suffix ordinals concat onto the pending value.
+    assert n("one second") == "12nd"
+    assert n("twenty first") == "21st"
+    assert n("five point third") == "53rd"
+    # Plural suffixed forms.
+    assert n("two sixes") == "26s"   # suffixed forms concat too
+    assert n("the twenties") == "the 20s"
+    # Literal digit tokens join currency/multipliers.
+    assert n("seven cents") == "¢7"
+    assert n("1.5 million") == "1500000"
+    assert n("3 dollars and 7 cents") == "$3.07"
+    # Falsy-0 erasure (leaderboard bug, kept for parity).
+    assert n("zero million zero second three") == "02nd 3"
+    # "and" swallowed after any multiplier.
+    assert n("a hundred and five") == "a 105"
+
+
 def test_english_normalizer_matches_vendored_leaderboard_corpus():
     """Differential golden test vs the EXACT leaderboard normalizer
     (transformers vendors whisper's english_normalizer — the same code
