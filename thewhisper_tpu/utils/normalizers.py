@@ -426,21 +426,6 @@ _NUMBER_WORDS = (set(_ZEROS) | set(_ONES) | set(_ONES_SUFFIXED)
                  | _SPECIALS)
 
 
-def _ordinal_suffix(n: int) -> str:
-    if n % 100 in (11, 12, 13):
-        return "th"
-    return {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
-
-
-def _fmt(x) -> str:
-    """Format a possibly fractional accumulated value."""
-    if isinstance(x, float):
-        if x == int(x):
-            return str(int(x))
-        return repr(round(x, 12)).rstrip("0").rstrip(".")
-    return str(x)
-
-
 def _number_preprocess(s: str) -> str:
     """The leaderboard number stage's string-level rewrites: the one
     fraction idiom ("<number> and a half" -> "point five"), spaces at
