@@ -204,3 +204,46 @@ def test_sharded_full_engine_generate_parity(tiny_arch):
     np.testing.assert_allclose(a.sum_logprob, b.sum_logprob,
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(a.align, b.align, rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_pipelined_longform_matches_single(tiny_arch):
+    """The pipelined long-form path (device-sliced windows + async
+    dispatch) over a dp x tp mesh engine produces the same transcript as
+    the single-device engine — the round-3 dispatch path composes with
+    GSPMD sharding."""
+    from thewhisper_tpu.config import GenerationOptions, SpecialTokens
+    from thewhisper_tpu.engine import WhisperEngine
+    import thewhisper_tpu.pipeline as pl
+
+    sp = SpecialTokens(
+        eot=1, sot=2, first_language=10, n_languages=5, translate=20,
+        transcribe=21, no_speech=22, no_timestamps=23, timestamp_begin=24)
+    params = init_params(tiny_arch, seed=4)
+    mesh = make_mesh(8)
+    # 50 encoder positions -> 1 s model chunk.
+    eng_single = WhisperEngine(params, tiny_arch, special=sp,
+                               batch_buckets=(1,))
+    eng_sharded = WhisperEngine(shard_params(params, mesh), tiny_arch,
+                                special=sp, batch_buckets=(1,), mesh=mesh)
+
+    class Tok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(f" t{int(i)}" for i in ids if int(i) < 500)
+
+    audio = (0.1 * np.random.default_rng(5).standard_normal(4 * 16000)
+             ).astype(np.float32)
+    kw = {"max_new_tokens": 5, "language": "en"}
+    old = pl.PIPELINE_DEPTH
+    try:
+        pl.PIPELINE_DEPTH = 2
+        p_single = pl.ASRPipeline(eng_single, tokenizer=Tok(),
+                                  chunk_length_s=1, batch_size=1)
+        p_sharded = pl.ASRPipeline(eng_sharded, tokenizer=Tok(),
+                                   chunk_length_s=1, batch_size=1)
+        a = p_single(audio, chunk_length_s=1, return_timestamps=False,
+                     generate_kwargs=dict(kw), batch_size=1)
+        b = p_sharded(audio, chunk_length_s=1, return_timestamps=False,
+                      generate_kwargs=dict(kw), batch_size=1)
+    finally:
+        pl.PIPELINE_DEPTH = old
+    assert a["text"] == b["text"]
