@@ -189,3 +189,26 @@ def test_lcs_merge_rejects_out_of_order_timestamps():
     # Without valid matches the sequences are concatenated at the fallback
     # split rather than overlapped.
     assert len(merged_bad) >= 4
+
+
+def test_median_filter_network_matches_np_median():
+    """The width-7 selection network and odd-width partition paths must
+    equal np.median over the reflect-padded window exactly, for every
+    width class (network / partition / even fallback / skip)."""
+    rng = np.random.default_rng(3)
+    from thewhisper_tpu.align import median_filter
+
+    for shape in [(450,), (3, 36, 450), (2, 5), (1, 7), (4,)]:
+        x = rng.standard_normal(shape).astype(np.float32)
+        for width in (1, 2, 3, 4, 5, 7, 9):
+            got = median_filter(x, width)
+            if width <= 1 or x.shape[-1] <= width // 2:
+                np.testing.assert_array_equal(got, x)
+                continue
+            half = width // 2
+            padded = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, half)],
+                            mode="reflect")
+            win = np.lib.stride_tricks.sliding_window_view(
+                padded, width, axis=-1)
+            np.testing.assert_allclose(got, np.median(win, axis=-1),
+                                       err_msg=f"{shape} w={width}")
