@@ -156,7 +156,10 @@ def token_timestamps_from_alignment(
         if rows <= 0:
             continue
         t_crop = min(t_enc, int(frames[bi]) // 2)
-        m = align[bi, :, :rows, :t_crop].astype(np.float64)   # (A, S, T)
+        # float32 like HF (torch weights are f32, std unbiased=False) —
+        # closer parity than the previous f64 upcast AND half the
+        # bandwidth through the z-norm/median passes.
+        m = align[bi, :, :rows, :t_crop].astype(np.float32)   # (A, S, T)
         std = m.std(axis=-2, keepdims=True)
         mean = m.mean(axis=-2, keepdims=True)
         m = (m - mean) / np.where(std == 0, 1.0, std)
