@@ -216,3 +216,33 @@ def test_bucket_padding_stays_on_device():
     assert float(out[3].sum()) == 0.0
     host = _pad_batch(np.ones((3, 5), np.float32), 4)
     assert isinstance(host, np.ndarray) and host.shape == (4, 5)
+
+
+def test_device_prompt_cache_keys_languages(tiny):
+    """The device-resident prompt cache (round 3) must key on language
+    config: alternating calls with different forced/per-row languages
+    keep producing the right per-row prompt tokens, and repeated calls
+    hit the cache (no new entries)."""
+    _, arch, params = tiny
+    sp = SpecialTokens(
+        eot=1, sot=2, first_language=10, n_languages=5,
+        translate=20, transcribe=21, no_speech=22, no_timestamps=23,
+        timestamp_begin=24,
+    )
+    eng = WhisperEngine(params, arch, special=sp, batch_buckets=(2,))
+    mel = np.random.default_rng(9).standard_normal(
+        (2, 80, 100)).astype(np.float32)
+    from thewhisper_tpu.config import LANGUAGES
+
+    o = GenerationOptions(max_new_tokens=2, language="en")
+    r_en = eng.transcribe_features(mel, o)
+    r_de = eng.transcribe_features(mel, o, languages=[LANGUAGES[2]] * 2)
+    r_mix = eng.transcribe_features(
+        mel, o, languages=[LANGUAGES[0], LANGUAGES[2]])
+    assert r_en.tokens[0, 1] == 10 and r_en.tokens[1, 1] == 10
+    assert r_de.tokens[0, 1] == 12 and r_de.tokens[1, 1] == 12
+    assert r_mix.tokens[0, 1] == 10 and r_mix.tokens[1, 1] == 12
+    n = len(eng._prompt_device_cache)
+    eng.transcribe_features(mel, o)
+    eng.transcribe_features(mel, o, languages=[LANGUAGES[2]] * 2)
+    assert len(eng._prompt_device_cache) == n      # repeats hit the cache
