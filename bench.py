@@ -181,26 +181,35 @@ def main():
     spec_tok_s = ((int(rnl.num_generated[0]) - int(rns.num_generated[0]))
                   / max(tnl - tns, 1e-9))
     # Honesty (round-2 Weak #3): the lookup rule is a deterministic
-    # function of the emitted tokens, so this run's EXACT tokens/round
-    # comes from the host simulation; and since every round costs one
-    # verify pass regardless of acceptance, net tok/s scales linearly in
-    # tokens/round. Project to natural English output (1.53 tok/round,
-    # real tokenizer — tools/ngram_acceptance_sim.py) vs the repetitive
-    # best case (4.56). t_round/t_step measured ~1.0
-    # (tools/spec_honesty_probe.py), so ngram drafting has no losing case
-    # beyond noise.
+    # function of the emitted tokens, so this run's EXACT round counts
+    # come from the host simulation — at BOTH lengths, because
+    # acceptance is non-stationary (early tokens have no lookup history)
+    # and only a differential divides the timing correctly:
+    # t_round = (t_long - t_short) / (rounds_long - rounds_short).
+    # Project to natural English output (1.50 tok/round at the engine's
+    # W=4, real tokenizer — tools/ngram_acceptance_sim.py --window 4)
+    # vs the repetitive best case (3.90); the crossover is
+    # t_round/t_step tokens/round.
     from tools.ngram_acceptance_sim import simulate
 
-    rounds, emitted, hist = simulate(np.asarray(rnl.tokens[0]).tolist(), 5)
-    tpr_run = emitted / max(rounds, 1)
-    t_round_ms = tpr_run / max(spec_tok_s, 1e-9) * 1e3
-    spec_nat = 1.53 / max(t_round_ms, 1e-9) * 1e3
+    seq = np.asarray(rnl.tokens[0]).tolist()
+    p_sp = int(rnl.prompt_len)
+    n_sp_l, n_sp_s = int(rnl.num_generated[0]), int(rns.num_generated[0])
+    rounds_l, emitted_l, hist = simulate(seq[: p_sp + n_sp_l],
+                                     eng_ng.spec_window)
+    rounds_s, _, _ = simulate(seq[: p_sp + n_sp_s],
+                          eng_ng.spec_window)
+    tpr_run = emitted_l / max(rounds_l, 1)
+    t_round_ms = (tnl - tns) / max(rounds_l - rounds_s, 1) * 1e3
+    spec_nat = 1.50 / max(t_round_ms, 1e-9) * 1e3
     log(f"bs=1 ngram-speculative: {spec_tok_s:.1f} tok/s "
         f"({spec_tok_s / max(tok_s, 1e-9):.2f}x plain) on this run's "
         f"output at {tpr_run:.2f} tok/round "
         f"(histogram {' '.join(f'm={i}:{c}' for i, c in enumerate(hist))})")
-    log(f"  -> round cost {t_round_ms:.3f} ms ({t_round_ms * tok_s / 1e3:.2f}x "
-        f"a plain step); projected natural-output (1.53 tok/round): "
+    log(f"  -> differential round cost {t_round_ms:.3f} ms "
+        f"({t_round_ms * tok_s / 1e3:.2f}x a plain step, crossover "
+        f"{t_round_ms * tok_s / 1e3:.2f} tok/round); projected "
+        f"natural-output (1.50 tok/round @W4): "
         f"{spec_nat:.0f} tok/s = {spec_nat / max(tok_s, 1e-9):.2f}x plain")
     del eng_ng
 

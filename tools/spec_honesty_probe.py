@@ -19,12 +19,16 @@ produces the defensible numbers:
    prose (real tokenizer: 1.53; repetitive: 4.56) x the measured round
    rate. This is the number the README headline must quote.
 
-Worst case bound: ngram speculation loses only the ratio
-t_round / t_step - 1 (measured below; spec_probe.py round 2: verify pass
-~1.01x a step) — so if that ratio stays ~1.0, draft="ngram" never
-meaningfully loses and the crossover question is moot.
+Measured verdict (v5e, W=4): a proposal round costs 1.19x a step, but a
+full ngram round costs ~2.6x — the crossover is t_round/t_step
+tokens/round, natural English runs ~1.53, so draft="ngram" LOSES on
+non-repetitive speech and stays opt-in. (The bigram lookup math itself
+is ~1.5 us standalone — tools/ngram_cost_probe.py — the overhead is
+structural to the compiled round, cause unprofiled.)
 
-Usage: python tools/spec_honesty_probe.py [--max-new 144] [--window 5]
+Usage: python tools/spec_honesty_probe.py [--max-new 144] [--window 4]
+(the window is used for BOTH the engine and the host round
+simulation — a mismatch silently skews the differential rounds)
 """
 
 import argparse
@@ -43,7 +47,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-new", type=int, default=144)
     ap.add_argument("--short", type=int, default=16)
-    ap.add_argument("--window", type=int, default=5)
+    ap.add_argument("--window", type=int, default=4,
+                    help="spec_window for BOTH the engine and the round simulation — they must match")
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
@@ -70,7 +75,7 @@ def main():
         components=("decoder",))
     sp = SpecialTokens()
     kw = dict(compute_dtype=jnp.bfloat16, batch_buckets=(1,),
-              suppress_tokens=[sp.eot])
+              suppress_tokens=[sp.eot], spec_window=args.window)
 
     featurizer = LogMelFeaturizer(n_mels=arch.n_mels, chunk_length_s=10.0)
     rng = np.random.default_rng(0)
@@ -131,32 +136,49 @@ def main():
     eng_n = WhisperEngine(params, arch, spec_ngram=True, **kw)
     print("compiling ngram programs...", flush=True)
     eng_n.transcribe_features(mel, o_short)
-    tn_s, _ = timed(eng_n, o_short)
+    tn_s, rn_s = timed(eng_n, o_short)
     tn_l, rn = timed(eng_n, o_long)
     assert np.array_equal(np.asarray(rn.tokens[0, rn.prompt_len:]), gen)
     ngram = (n_l - n_s) / (tn_l - tn_s)
-    # Exact tokens/round of THIS sequence under the lookup rule (prompt
-    # tokens precede, as in the device buffer).
-    prompt_len = int(rn.prompt_len)
+    # Exact rounds of THIS sequence under the lookup rule, AT BOTH
+    # LENGTHS: acceptance is non-stationary (the first tokens have no
+    # history to look up, later tokens repeat more), so tokens/round
+    # over the whole run does NOT divide out of a differential timing —
+    # the true per-round cost is (t_long - t_short) / (rounds_long -
+    # rounds_short). The earlier tpr/meas estimate mixed regimes and
+    # overstated the round cost ~4x.
+    p_len = int(rn.prompt_len)
     full = np.asarray(rn.tokens[0]).tolist()
-    rounds, emitted, hist = simulate(full, args.window)
-    # Only the generated region decodes speculatively; the sim starts at
-    # pos=1 (prefill) — close enough on 144 tokens for a cross-check.
-    tpr_run = emitted / max(rounds, 1)
-    pred = tpr_run * 1e3 / t_round
+    rounds_l, emitted_l, hist = simulate(full[: p_len + n_l], args.window)
+    rounds_s, emitted_s, _ = simulate(full[: p_len + n_s], args.window)
+    tpr_run = emitted_l / max(rounds_l, 1)
+    d_rounds = max(rounds_l - rounds_s, 1)
+    t_round_n = (tn_l - tn_s) / d_rounds * 1e3
     print(f"ngram on actual output: {ngram:.0f} tok/s measured "
-          f"({ngram / plain:.2f}x plain); exact sim: {tpr_run:.2f} tok/round "
-          f"-> predicted {pred:.0f} tok/s", flush=True)
+          f"({ngram / plain:.2f}x plain) at {tpr_run:.2f} tok/round "
+          f"overall; differential rounds {d_rounds} -> TRUE round cost "
+          f"{t_round_n:.3f} ms = {t_round_n / t_step:.2f}x a step",
+          flush=True)
     print(f"  accepted-draft histogram: "
           + " ".join(f"m={i}:{100 * c / max(sum(hist), 1):.0f}%"
                      for i, c in enumerate(hist)), flush=True)
 
     # -- 4. the honest headline: natural-prose prediction -------------------
-    for name, tpr in (("natural English prose", 1.53),
-                      ("repetitive refrain", 4.56)):
-        print(f"predicted {name} ({tpr:.2f} tok/round): "
-              f"{tpr * 1e3 / t_round:.0f} tok/s "
-              f"= {tpr * t_step / t_round:.2f}x plain", flush=True)
+    # Project with BOTH round-cost estimates (the proposal-path round and
+    # the ngram differential round); the crossover is t_round/t_step
+    # tokens/round.
+    for rc_name, rc in (("proposal-round", t_round),
+                        ("ngram-round", t_round_n)):
+        print(f"[{rc_name} {rc:.3f} ms, crossover "
+              f"{rc / t_step:.2f} tok/round]", flush=True)
+        # tokens/round are window-dependent: 1.50/3.90 at W=4,
+        # 1.53/4.56 at W=5 (tools/ngram_acceptance_sim.py --window N).
+        nat, rep = (1.50, 3.90) if args.window == 4 else (1.53, 4.56)
+        for name, tpr in (("natural English prose", nat),
+                          ("repetitive refrain", rep)):
+            print(f"  predicted {name} ({tpr:.2f} tok/round): "
+                  f"{tpr * 1e3 / rc:.0f} tok/s "
+                  f"= {tpr * t_step / rc:.2f}x plain", flush=True)
 
 
 if __name__ == "__main__":
