@@ -315,3 +315,27 @@ def test_pipelined_dispatch_beam_matches_sequential(tiny_pipeline):
     finally:
         pl.PIPELINE_DEPTH = old
     assert seq == pip
+
+
+def test_offset_window_path_matches_sequential(tiny_pipeline):
+    """The offset-window fast path (slice inside the program, one
+    dispatch per window) must produce output identical to the batched
+    sequential path, including word timestamps and the short final
+    window."""
+    import thewhisper_tpu.pipeline as pl
+
+    audio = _audio(11.3, seed=13)   # non-multiple -> short last window
+    kw = {"max_new_tokens": 8, "language": "en"}
+    old = pl.PIPELINE_DEPTH
+    try:
+        pl.PIPELINE_DEPTH = 0       # sequential batched path
+        seq = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0,
+                            batch_size=1)
+        pl.PIPELINE_DEPTH = 2       # offset-window path (bs=1, depth>0)
+        off = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0,
+                            batch_size=1)
+    finally:
+        pl.PIPELINE_DEPTH = old
+    assert seq == off

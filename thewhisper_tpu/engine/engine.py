@@ -393,6 +393,84 @@ class WhisperEngine:
             self._jit_cache[key] = fn
         return fn
 
+    def _generate_from_window_fn(self, n_total: int, win_samples: int,
+                                 bucket_samples: int, prompt_len: int,
+                                 max_new: int, timestamps: bool,
+                                 use_pallas: Optional[bool] = None):
+        """Offset-window fused program: the WINDOW SLICE runs inside the
+        executable (``dynamic_slice`` at a traced scalar offset), so one
+        long-form window costs ONE dispatched program instead of three
+        (slice + pad/reshape + generate) — on the tunneled chip every
+        streamed command has fixed overhead, and at PIPELINE_DEPTH=2 the
+        command stream is the bottleneck. The caller device_puts the
+        whole padded file once; ``n_total`` is bucketed upstream so
+        different file lengths reuse the compiled program.
+
+        bs=1, greedy-only (the single-stream long-form shape). A window
+        shorter than the featurizer bucket is zero-padded INSIDE the
+        program (never sliced long: that would leak the next window's
+        audio where silence belongs)."""
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        key = ("audio_win", n_total, win_samples, bucket_samples,
+               prompt_len, max_new, timestamps, use_pallas)
+        with self._lock:
+            fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+
+        from thewhisper_tpu.audio.features import (
+            hann_window,
+            log_mel_spectrogram,
+            mel_filter_bank,
+        )
+
+        mel_fb = jnp.asarray(mel_filter_bank(num_mel_filters=self.arch.n_mels))
+        window = jnp.asarray(hann_window())
+        body = self._program_body(1, prompt_len, max_new, timestamps,
+                                  num_beams=1, temperature=0.0)
+
+        def program(params, audio_full, off, prompt, seed, draft=None):
+            win = jax.lax.dynamic_slice(audio_full, (off,), (win_samples,))
+            if bucket_samples != win_samples:
+                win = jnp.pad(win, (0, bucket_samples - win_samples))
+            audio = win[None]
+            if use_pallas:
+                from thewhisper_tpu.ops.logmel_pallas import log_mel_pallas
+
+                mel = log_mel_pallas(audio, mel_fb, window)
+            else:
+                mel = log_mel_spectrogram(audio, mel_fb, window)
+            return body(params, mel, prompt, seed, draft)
+
+        fn = jax.jit(program)
+        with self._lock:
+            self._jit_cache[key] = fn
+        return fn
+
+    def transcribe_window_async(
+        self,
+        full_audio,                        # (N,) device-resident, pre-padded
+        offset: int,
+        win_samples: int,
+        bucket_samples: int,
+        options: GenerationOptions,
+        languages: Optional[Sequence[str]] = None,
+        use_pallas: Optional[bool] = None,
+    ) -> "PendingResult":
+        """Dispatch one long-form window by OFFSET into a device-resident
+        file (see :meth:`_generate_from_window_fn`); greedy bs=1."""
+        prompt_arr = self._device_prompt(options, 1, languages)
+        p = prompt_arr.shape[1]
+        fn = self._generate_from_window_fn(
+            full_audio.shape[0], win_samples, bucket_samples, p,
+            options.max_new_tokens, options.return_timestamps,
+            use_pallas=use_pallas)
+        t0 = time.perf_counter()
+        result = fn(self.params, full_audio, np.int32(offset), prompt_arr,
+                    self._device_seed(options.seed), self.draft_params)
+        return PendingResult(self, result, 1, p, options, t0)
+
     def _detect_language_fn(self, batch: int, t_mel: int):
         key = ("detect", batch, t_mel)
         with self._lock:

@@ -171,36 +171,66 @@ class ASRPipeline:
         step = max(1, win - 2 * stride)
 
         offsets = self._window_offsets(len(audio), win, step)
-        if len(offsets) >= 3:
-            # Long-form: ship the WHOLE file to the device ONCE and slice
-            # windows there. Per-window host->device uploads were the
-            # serial tax of the windowed path (a 10-min file is ~38 MB;
-            # re-uploading each 9 s window costs ~58 MB through the
-            # tunnel, serialized with compute). Slices/pads are tiny
-            # async XLA ops that overlap the previous window's decode.
-            import jax
-
-            dev = jax.device_put(audio)
-            windows = [dev[o: o + win] for o in offsets]
-        else:
-            windows = [audio[o: o + win] for o in offsets]
         bsz = batch_size or self.batch_size
-
+        depth = (PIPELINE_DEPTH if self.pipeline_depth is None
+                 else self.pipeline_depth)
         opts = GenerationOptions(
             max_new_tokens=max_new_tokens, language=language, task=task,
             return_timestamps=want_words, num_beams=num_beams,
         )
-        # Cross-call reuse only when the audio is one window (the
-        # streaming rolling-buffer case); a multi-window file would feed
-        # one window's tokens as the guess for a different window.
         # Sub-chunk latency buckets apply to the windowed path too: a
         # 9 s call window on a configured 9 s bucket encodes 450
         # positions instead of padding to the model chunk's 500
         # (flexible-chunk truncation, ~10% off every window's encode).
-        seqs, ts_seqs, _, langs = self._decode_windows(
-            windows, offsets, opts, bsz, want_words, fallback=fallback,
-            allow_reuse=(len(windows) == 1),
-            bucket_s=self._pick_bucket(win_s))
+        bucket_s = self._pick_bucket(win_s)
+
+        # Offset-window fast path (single-stream long-form): the file is
+        # device_put ONCE — padded by a window of silence and bucketed
+        # to 60 s multiples so different file lengths share compiled
+        # programs — and every window is ONE dispatched program slicing
+        # at a traced offset (engine.transcribe_window_async; each
+        # streamed tunnel command has fixed overhead, and at depth 2 the
+        # command stream is the long-form bottleneck). Greedy bs=1,
+        # forced language, no fallback; output identical to the batched
+        # path (regression-tested).
+        offset_mode = (
+            len(offsets) >= 3 and bsz == 1 and depth > 0
+            and fallback is None and language is not None
+            and num_beams == 1 and not self._reuse_previous
+            and hasattr(self.engine, "transcribe_window_async"))
+        if offset_mode:
+            import jax
+
+            seg = 60 * SAMPLE_RATE
+            total = (len(audio) + win + seg - 1) // seg * seg
+            padded = np.zeros(total, np.float32)
+            padded[: len(audio)] = audio
+            dev = jax.device_put(padded)
+            lens = [min(win, len(audio) - o) for o in offsets]
+            bucket_samples = self._featurizer_for(bucket_s).n_samples
+            seqs, ts_seqs, _, langs = self._decode_windows_offset(
+                dev, offsets, lens, win, bucket_samples, opts, want_words,
+                depth)
+        else:
+            if len(offsets) >= 3:
+                # Long-form: ship the WHOLE file to the device ONCE and
+                # slice windows there. Per-window host->device uploads
+                # were the serial tax of the windowed path (a 10-min
+                # file is ~38 MB; re-uploading each 9 s window costs
+                # ~58 MB through the tunnel, serialized with compute).
+                import jax
+
+                dev = jax.device_put(audio)
+                windows = [dev[o: o + win] for o in offsets]
+            else:
+                windows = [audio[o: o + win] for o in offsets]
+            # Cross-call reuse only when the audio is one window (the
+            # streaming rolling-buffer case); a multi-window file would
+            # feed one window's tokens as the guess for another window.
+            seqs, ts_seqs, _, langs = self._decode_windows(
+                windows, offsets, opts, bsz, want_words, fallback=fallback,
+                allow_reuse=(len(windows) == 1),
+                bucket_s=bucket_s)
 
         if len(seqs) == 1:
             tokens, token_ts_list = seqs[0], (ts_seqs[0] if want_words else None)
@@ -313,44 +343,10 @@ class ASRPipeline:
         langs: List[Optional[str]] = []
 
         def consume(res, batch, start, languages):
-            langs.extend(
-                (languages or [opts.language] * len(batch))[:len(batch)])
-            p = res.prompt_len
-            if want_words:
-                # Alignment rows populated per sample: prompt + generated - 1.
-                num_rows = p + np.maximum(res.num_generated, 1) - 1
-                token_ts = token_timestamps_from_alignment(
-                    res.align, num_rows,
-                    num_frames=np.asarray([len(w) // 160 for w in batch]),
-                    median_filter_width=self.engine.arch.median_filter_width,
-                )
-            for bi in range(len(batch)):
-                n = int(res.num_generated[bi])
-                raw = res.tokens[bi, p: p + n].tolist()
-                keep = [j for j, t in enumerate(raw)
-                        if t < self.engine.special.eot]
-                ids = [raw[j] for j in keep]
-                seqs.append(ids)
-                if with_logprobs:
-                    if res.token_logprobs is not None:
-                        lp_seqs.append(
-                            [float(res.token_logprobs[bi, j]) for j in keep])
-                    else:
-                        lp_seqs.append([0.0] * len(ids))
-                if want_words:
-                    # Index alignment rows by RAW generated position (j), not
-                    # by rank in the special-token-filtered list: a special
-                    # token dropped mid-sequence must not shift later rows.
-                    offset_s = offsets[start + bi] / SAMPLE_RATE
-                    ts: List[Tuple[Optional[float], Optional[float]]] = []
-                    for j in keep:
-                        t0 = float(token_ts[bi, p + j]) + offset_s
-                        if p + j + 1 < p + n:
-                            t1 = float(token_ts[bi, p + j + 1]) + offset_s
-                        else:
-                            t1 = None
-                        ts.append((t0, t1))
-                    ts_seqs.append(ts)
+            self._consume_result(
+                res, [len(w) for w in batch], start, offsets, opts,
+                want_words, with_logprobs, languages,
+                seqs, ts_seqs, lp_seqs, langs)
 
         # Pipelined dispatch (round-2 review #1: the bs=1 long-form
         # frontier): with a forced language, no fallback ladder and no
@@ -407,6 +403,80 @@ class ASRPipeline:
             consume(res, batch, start, languages)
         for h, b_, s_ in pending:
             consume(h.result(), b_, s_, None)
+        return seqs, ts_seqs, lp_seqs, langs
+
+    def _consume_result(self, res, lens, start, offsets, opts, want_words,
+                        with_logprobs, languages,
+                        seqs, ts_seqs, lp_seqs, langs):
+        """Unpack one EngineResult batch into the per-window accumulators
+        (shared by the batched and offset-window dispatch paths).
+        ``lens``: true (unpadded) sample counts per row."""
+        nb = len(lens)
+        langs.extend((languages or [opts.language] * nb)[:nb])
+        p = res.prompt_len
+        if want_words:
+            # Alignment rows populated per sample: prompt + generated - 1.
+            num_rows = p + np.maximum(res.num_generated, 1) - 1
+            token_ts = token_timestamps_from_alignment(
+                res.align, num_rows,
+                num_frames=np.asarray([ln // 160 for ln in lens]),
+                median_filter_width=self.engine.arch.median_filter_width,
+            )
+        for bi in range(nb):
+            n = int(res.num_generated[bi])
+            raw = res.tokens[bi, p: p + n].tolist()
+            keep = [j for j, t in enumerate(raw)
+                    if t < self.engine.special.eot]
+            ids = [raw[j] for j in keep]
+            seqs.append(ids)
+            if with_logprobs:
+                if res.token_logprobs is not None:
+                    lp_seqs.append(
+                        [float(res.token_logprobs[bi, j]) for j in keep])
+                else:
+                    lp_seqs.append([0.0] * len(ids))
+            if want_words:
+                # Index alignment rows by RAW generated position (j), not
+                # by rank in the special-token-filtered list: a special
+                # token dropped mid-sequence must not shift later rows.
+                offset_s = offsets[start + bi] / SAMPLE_RATE
+                ts: List[Tuple[Optional[float], Optional[float]]] = []
+                for j in keep:
+                    t0 = float(token_ts[bi, p + j]) + offset_s
+                    if p + j + 1 < p + n:
+                        t1 = float(token_ts[bi, p + j + 1]) + offset_s
+                    else:
+                        t1 = None
+                    ts.append((t0, t1))
+                ts_seqs.append(ts)
+
+    def _decode_windows_offset(self, dev_audio, offsets, lens, win,
+                               bucket_samples, opts, want_words, depth):
+        """Offset-window long-form dispatch: the file lives on device
+        once, each window is ONE dispatched program (the slice runs
+        inside the executable — engine.transcribe_window_async). Same
+        pipelined fetch overlap as the batched path; greedy bs=1 only."""
+        seqs: List[List[int]] = []
+        ts_seqs: List[List[Tuple[Optional[float], Optional[float]]]] = []
+        lp_seqs: List[List[float]] = []
+        langs: List[Optional[str]] = []
+        pending: List[Tuple[Any, int]] = []
+
+        def drain_one():
+            h, s_ = pending.pop(0)
+            self._consume_result(h.result(), [lens[s_]], s_, offsets, opts,
+                                 want_words, False, None,
+                                 seqs, ts_seqs, lp_seqs, langs)
+
+        for i, off in enumerate(offsets):
+            handle = self.engine.transcribe_window_async(
+                dev_audio, int(off), win, bucket_samples, opts,
+                use_pallas=self._use_pallas)
+            pending.append((handle, i))
+            if len(pending) > depth:
+                drain_one()
+        while pending:
+            drain_one()
         return seqs, ts_seqs, lp_seqs, langs
 
     # -- temperature fallback ladder (opt-in) --------------------------------
