@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--ab-bucket", action="store_true",
                     help="interleave 10 s-bucket vs 9 s-bucket reps in ONE "
                     "process at the first depth (cancels tunnel drift)")
+    ap.add_argument("--ab-kv", action="store_true",
+                    help="interleave int8 vs bf16 cross-KV engines in ONE "
+                    "process at the first depth: only ~32 decode steps per "
+                    "window amortize the per-window quantize pass")
     args = ap.parse_args()
 
     import jax
@@ -92,6 +96,34 @@ def main():
         len(audio), 9 * 16000, 9 * 16000 - 2 * (9 * 16000 // 6)))
     print(f"{total_s:.0f} s audio -> {n_windows} windows x "
           f"{args.max_new} tok", flush=True)
+
+    if args.ab_kv:
+        depth = int(args.depths.split(",")[0])
+        pl.PIPELINE_DEPTH = depth
+        eng_bf = WhisperEngine(
+            params, arch, compute_dtype=jnp.bfloat16, batch_buckets=(1,),
+            cross_kv_int8=False, suppress_tokens=[SpecialTokens().eot])
+        pipe_bf = pl.ASRPipeline(eng_bf, tokenizer=None, chunk_length_s=10,
+                                 batch_size=1,
+                                 latency_buckets=[9.0] if args.bucket9
+                                 else None)
+        print("compiling bf16-KV window program...", flush=True)
+        pipe_bf(audio[: 30 * 16000], chunk_length_s=9, return_timestamps=rt,
+                generate_kwargs=dict(gk), batch_size=1)
+        best = {"kv_int8": float("inf"), "kv_bf16": float("inf")}
+        for _ in range(args.reps * 2):
+            for name, pp in (("kv_int8", pipe), ("kv_bf16", pipe_bf)):
+                t0 = time.perf_counter()
+                pp(audio, chunk_length_s=9, return_timestamps=rt,
+                   generate_kwargs=dict(gk), batch_size=1)
+                wall = time.perf_counter() - t0
+                best[name] = min(best[name], wall)
+                print(f"  {name}: wall={wall:.2f} s "
+                      f"RTFx={total_s / wall:.1f}", flush=True)
+        for name, bv in best.items():
+            print(f"{name}: BEST RTFx={total_s / bv:.1f} "
+                  f"({bv * 1e3 / n_windows:.1f} ms/window)", flush=True)
+        return
 
     if args.ab_bucket:
         depth = int(args.depths.split(",")[0])
