@@ -234,8 +234,12 @@ def main():
     lf_audio = (0.1 * rng.standard_normal(600 * 16000)).astype(np.float32)
     lf_kw = {"max_new_tokens": 32, "language": "en"}
     log("compiling long-form window program...")
-    pipe_lf(lf_audio[: 30 * 16000], chunk_length_s=9,
-            generate_kwargs=dict(lf_kw), batch_size=1)
+    # Warm with the FULL file: the offset-window jit key includes the
+    # 60 s-bucketed file length, so a short warmup file would compile a
+    # DIFFERENT program and the first timed wall would absorb the real
+    # compile (review finding).
+    pipe_lf(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
+            batch_size=1)
     lf_walls = []
     for _ in range(5):   # best-of-5: tunnel throughput drifts +-25%
         t0 = time.perf_counter()

@@ -346,6 +346,32 @@ class WhisperEngine:
             self._jit_cache[key] = fn
         return fn
 
+    def _featurize_in_program(self, use_pallas: Optional[bool]):
+        """Resolve the in-program featurizer shared by the fused audio
+        entry points: returns (resolved_use_pallas, featurize_fn) where
+        featurize_fn maps a (B, n_samples) audio block to log-mel inside
+        the jitted program."""
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+
+        from thewhisper_tpu.audio.features import (
+            hann_window,
+            log_mel_spectrogram,
+            mel_filter_bank,
+        )
+
+        mel_fb = jnp.asarray(mel_filter_bank(num_mel_filters=self.arch.n_mels))
+        window = jnp.asarray(hann_window())
+
+        def featurize(audio):
+            if use_pallas:
+                from thewhisper_tpu.ops.logmel_pallas import log_mel_pallas
+
+                return log_mel_pallas(audio, mel_fb, window)
+            return log_mel_spectrogram(audio, mel_fb, window)
+
+        return use_pallas, featurize
+
     def _generate_from_audio_fn(self, batch: int, n_samples: int,
                                 prompt_len: int, max_new: int,
                                 timestamps: bool, num_beams: int = 1,
@@ -358,8 +384,7 @@ class WhisperEngine:
         generate): on tunneled TPUs this removes a host round trip AND the
         mel's double crossing of the link (device->host->device, ~1 MB for
         a 10 s window)."""
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+        use_pallas, featurize = self._featurize_in_program(use_pallas)
         key = ("audio", batch, n_samples, prompt_len, max_new, timestamps,
                num_beams, temperature, use_pallas, proposals)
         with self._lock:
@@ -367,26 +392,12 @@ class WhisperEngine:
         if fn is not None:
             return fn
 
-        from thewhisper_tpu.audio.features import (
-            hann_window,
-            log_mel_spectrogram,
-            mel_filter_bank,
-        )
-
-        mel_fb = jnp.asarray(mel_filter_bank(num_mel_filters=self.arch.n_mels))
-        window = jnp.asarray(hann_window())
         body = self._program_body(
             batch, prompt_len, max_new, timestamps, num_beams, temperature,
             proposals)
 
         def program(params, audio, prompt, seed, draft=None):
-            if use_pallas:
-                from thewhisper_tpu.ops.logmel_pallas import log_mel_pallas
-
-                mel = log_mel_pallas(audio, mel_fb, window)
-            else:
-                mel = log_mel_spectrogram(audio, mel_fb, window)
-            return body(params, mel, prompt, seed, draft)
+            return body(params, featurize(audio), prompt, seed, draft)
 
         fn = jax.jit(program)
         with self._lock:
@@ -410,8 +421,7 @@ class WhisperEngine:
         shorter than the featurizer bucket is zero-padded INSIDE the
         program (never sliced long: that would leak the next window's
         audio where silence belongs)."""
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+        use_pallas, featurize = self._featurize_in_program(use_pallas)
         key = ("audio_win", n_total, win_samples, bucket_samples,
                prompt_len, max_new, timestamps, use_pallas)
         with self._lock:
@@ -419,14 +429,6 @@ class WhisperEngine:
         if fn is not None:
             return fn
 
-        from thewhisper_tpu.audio.features import (
-            hann_window,
-            log_mel_spectrogram,
-            mel_filter_bank,
-        )
-
-        mel_fb = jnp.asarray(mel_filter_bank(num_mel_filters=self.arch.n_mels))
-        window = jnp.asarray(hann_window())
         body = self._program_body(1, prompt_len, max_new, timestamps,
                                   num_beams=1, temperature=0.0)
 
@@ -434,14 +436,7 @@ class WhisperEngine:
             win = jax.lax.dynamic_slice(audio_full, (off,), (win_samples,))
             if bucket_samples != win_samples:
                 win = jnp.pad(win, (0, bucket_samples - win_samples))
-            audio = win[None]
-            if use_pallas:
-                from thewhisper_tpu.ops.logmel_pallas import log_mel_pallas
-
-                mel = log_mel_pallas(audio, mel_fb, window)
-            else:
-                mel = log_mel_spectrogram(audio, mel_fb, window)
-            return body(params, mel, prompt, seed, draft)
+            return body(params, featurize(win[None]), prompt, seed, draft)
 
         fn = jax.jit(program)
         with self._lock:
@@ -460,6 +455,11 @@ class WhisperEngine:
     ) -> "PendingResult":
         """Dispatch one long-form window by OFFSET into a device-resident
         file (see :meth:`_generate_from_window_fn`); greedy bs=1."""
+        if options.num_beams != 1 or options.temperature:
+            raise ValueError(
+                "transcribe_window_async is greedy-only (num_beams=1, "
+                "temperature=0); use transcribe_audio for beam/sampled "
+                "decoding")
         prompt_arr = self._device_prompt(options, 1, languages)
         p = prompt_arr.shape[1]
         fn = self._generate_from_window_fn(

@@ -85,7 +85,9 @@ def main():
     gk = {"max_new_tokens": args.max_new, "language": "en"}
     rt = "word" if args.timestamps else False
 
-    # Warm compile on a short file (same window program).
+    # Initial short-file warmup (params transfer + shared executables;
+    # the depth sweep below re-warms per depth at full length because
+    # the offset-window program keys on the bucketed file length).
     print("compiling (30 s warmup file)...", flush=True)
     t0 = time.perf_counter()
     pipe(audio[: 30 * 16000], chunk_length_s=9, return_timestamps=rt,
@@ -150,6 +152,14 @@ def main():
 
     for depth in (int(d) for d in args.depths.split(",")):
         pl.PIPELINE_DEPTH = depth
+        # Untimed full-length warmup PER DEPTH: depth selects the code
+        # path (offset-window program at depth>0, batched program at
+        # depth 0) and the offset program's jit key includes the
+        # bucketed file length — a short or different-depth warmup
+        # compiles a different executable and the first timed rep would
+        # absorb the compile.
+        pipe(audio, chunk_length_s=9, return_timestamps=rt,
+             generate_kwargs=dict(gk), batch_size=1)
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()

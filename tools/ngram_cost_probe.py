@@ -110,7 +110,7 @@ def main():
                 ("hit-scan only", hitscan_only),
                 ("ngram one-hot select", ngram_onehot)]
 
-    def bench(fn, iters_mult=1):
+    def bench(fn):
         def loop(n_steps, tok):
             def body(i, c):
                 t, acc = c

@@ -149,6 +149,10 @@ def main():
     # overstated the round cost ~4x.
     p_len = int(rn.prompt_len)
     full = np.asarray(rn.tokens[0]).tolist()
+    # The short run must emit exactly the long run's prefix, or the
+    # differential round count below is meaningless (review finding).
+    assert np.array_equal(np.asarray(rn_s.tokens[0])[: p_len + n_s],
+                          np.asarray(full[: p_len + n_s]))
     rounds_l, emitted_l, hist = simulate(full[: p_len + n_l], args.window)
     rounds_s, emitted_s, _ = simulate(full[: p_len + n_s], args.window)
     tpr_run = emitted_l / max(rounds_l, 1)
