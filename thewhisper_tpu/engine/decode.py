@@ -44,6 +44,11 @@ class GreedyResult(NamedTuple):
     align: jnp.ndarray         # (B, A, P + max_new, T_enc) f32 (zeros if off)
     token_logprobs: jnp.ndarray  # (B, max_new) f32 per generated token
     no_speech_prob: jnp.ndarray  # (B,) f32 P(no_speech | sot) if id given
+    # Diagnostic: while-loop iterations actually executed (speculative
+    # decode sets this to its verify-round count; plain greedy leaves it
+    # None). Lets probes measure TRUE per-round cost instead of inferring
+    # round counts from a host-side simulation of the draft rule.
+    rounds: Optional[jnp.ndarray] = None  # scalar int32 or None
 
 
 def greedy_decode(

@@ -54,6 +54,7 @@ class EngineResult(NamedTuple):
     decode_time_s: float
     token_logprobs: Optional[np.ndarray] = None  # (B, max_new) greedy + beam
     no_speech_prob: Optional[np.ndarray] = None  # (B,) greedy + beam
+    spec_rounds: Optional[int] = None  # verify rounds executed (speculative)
 
 
 class PendingResult:
@@ -690,6 +691,9 @@ class WhisperEngine:
                  result.token_logprobs, result.no_speech_prob]
         if options.return_timestamps:
             fetch.append(result.align)
+        rounds = getattr(result, "rounds", None)
+        if rounds is not None:
+            fetch.append(rounds)
         host = jax.device_get(fetch)
         dt = time.perf_counter() - t0
         self.total_time_worked += dt
@@ -704,6 +708,7 @@ class WhisperEngine:
             decode_time_s=dt,
             token_logprobs=np.asarray(host[3])[:b],
             no_speech_prob=np.asarray(host[4])[:b],
+            spec_rounds=(int(host[-1]) if rounds is not None else None),
         )
 
     def detect_language(self, mel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -139,6 +139,7 @@ class _Carry(NamedTuple):
     align: jnp.ndarray
     sum_lp: jnp.ndarray
     token_lp: jnp.ndarray    # (B, max_new + W + 1)
+    rounds: jnp.ndarray      # scalar int32: verify rounds executed
 
 
 def speculative_decode(
@@ -249,8 +250,18 @@ def speculative_decode(
     d_cross_k, d_cross_v = draft_cache.cross_k, draft_cache.cross_v
 
     def ngram_propose(tokens_buf, feed_pos, w0):
-        """Prompt-lookup draft: continuation of the latest earlier
-        occurrence of the (prev, current) bigram. (B, W) proposals."""
+        """Prompt-lookup draft: continuation of an earlier occurrence of
+        the (prev, current) bigram. (B, W) proposals.
+
+        Two-tier selection: prefer the most recent hit whose W-token
+        continuation is FULLY below the write frontier; fall back to the
+        most recent hit overall (whose continuation partially crosses
+        into unwritten zeros). The naive most-recent rule collapses on
+        short-period repetition — e.g. a period-1 loop always matches at
+        feed_pos-2, drafting [tok, 0, 0, ...] for 2 tok/round where an
+        older fully-written occurrence drafts W+1/round
+        (tools/spec_round_probe.py: device round counts, not simulated).
+        """
         prev = jnp.take_along_axis(
             tokens_buf, jnp.maximum(feed_pos - 1, 0)[:, None], axis=1)
         nxt = jnp.concatenate(
@@ -258,8 +269,12 @@ def speculative_decode(
         j = jnp.arange(s_buf)[None, :]
         hit = ((tokens_buf == prev) & (nxt == w0)
                & (j + 1 < feed_pos[:, None]) & (j > 0))      # (B, S)
+        full = hit & (j + w + 1 <= feed_pos[:, None])        # drafts written
         has = jnp.any(hit, axis=1)
-        j_sel = jnp.argmax(jnp.where(hit, j, -1), axis=1)    # most recent
+        has_full = jnp.any(full, axis=1)
+        j_any = jnp.argmax(jnp.where(hit, j, -1), axis=1)    # most recent
+        j_full = jnp.argmax(jnp.where(full, j, -1), axis=1)
+        j_sel = jnp.where(has_full, j_full, j_any)
         start = jnp.where(has, j_sel + 2, feed_pos)          # fallback: w0..
         rows = jnp.clip(start[:, None] + jnp.arange(w)[None, :], 0, s_buf - 1)
         return jnp.take_along_axis(tokens_buf, rows, axis=1)
@@ -387,12 +402,13 @@ def speculative_decode(
             c.d_self_v if model_free else jnp.where(sel5, d_v, c.d_self_v),
             new_align,
             jnp.where(live, new_sum, c.sum_lp),
-            jnp.where(sel, new_token_lp, c.token_lp))
+            jnp.where(sel, new_token_lp, c.token_lp),
+            c.rounds + 1)
 
     init = _Carry(tokens, jnp.ones((b,), jnp.int32), done0,
                   cache.self_k, cache.self_v,
                   draft_cache.self_k, draft_cache.self_v,
-                  align_buf, sum_lp0, token_lp0)
+                  align_buf, sum_lp0, token_lp0, jnp.int32(0))
     out = jax.lax.while_loop(cond, body, init)
 
     s_out = p + max_new_tokens
@@ -411,4 +427,5 @@ def speculative_decode(
     toks = jnp.concatenate([toks[:, :p], gen], axis=1)
     align = (out.align[:, :, :s_out] if capture_alignment else out.align)
     return GreedyResult(toks, num_generated, out.sum_lp, align,
-                        out.token_lp[:, :max_new_tokens], no_speech_prob)
+                        out.token_lp[:, :max_new_tokens], no_speech_prob,
+                        rounds=out.rounds)

@@ -25,6 +25,57 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def simulate_device(tokens, p_len: int, w: int, two_tier: bool = False):
+    """EXACT device-rule round simulation (engine/speculative.py).
+
+    Unlike :func:`simulate` (which drafts from the finished sequence),
+    this replicates what the device buffer actually contains mid-decode:
+    slots beyond the current frontier are ZEROS, so a near-frontier
+    bigram match drafts zeros and misses. On short-period repetitive
+    output the optimistic rule overestimates tokens/round ~2.5x — which
+    is precisely why the round-3 differential-rounds estimate read the
+    ngram round at ~2.6x a step (the denominator was wrong, not the
+    program).
+
+    ``tokens``: prompt + generated (first ``p_len`` entries = prompt).
+    ``two_tier=True`` simulates the improved lookup: prefer the most
+    recent hit whose W-token continuation is fully written; fall back to
+    the most recent partial hit.
+    Returns (rounds, emitted, accepted_histogram[w+1]).
+    """
+    n = len(tokens)
+    hist = [0] * (w + 1)
+    rounds = 0
+    frontier = p_len              # prefill wrote the first generated token
+    while frontier < n - 1:
+        feed = frontier
+        prev, w0 = tokens[feed - 1], tokens[feed]
+        best = best_full = None
+        for j in range(feed - 2, 0, -1):
+            if tokens[j] == prev and tokens[j + 1] == w0:
+                if best is None:
+                    best = j
+                if j + w + 1 <= feed:
+                    best_full = j
+                    break         # most recent fully-written hit
+                if not two_tier:
+                    break         # legacy: most recent hit, full or not
+        sel = (best_full if two_tier and best_full is not None else best)
+        start = sel + 2 if sel is not None else feed
+        drafts = [tokens[start + k] if start + k <= frontier else 0
+                  for k in range(w)]
+        m = 0
+        for k, d in enumerate(drafts):
+            if feed + 1 + k < n and tokens[feed + 1 + k] == d:
+                m += 1
+            else:
+                break
+        hist[m] += 1
+        rounds += 1
+        frontier += m + 1
+    return rounds, n - 1 - p_len, hist
+
+
 def simulate(tokens, w: int):
     """Replicates ngram_propose over a finished sequence.
 
