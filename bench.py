@@ -19,10 +19,16 @@ for real ones; throughput is weight-value-independent). Reports:
   protocol — 600 s of audio through the windowed offline pipeline
   (9 s windows, LCS merge) with pipelined dispatch; reference L40S "S"
   149.08, H100 161.45 (benchmark/README.md:96-134).
-- **speculative honesty**: ngram net tok/s on this run's output plus its
-  EXACT tokens/round (host simulation of the lookup rule), and the
-  projection to natural-English output at 1.53 tok/round — the number
-  the README quotes (round-2 Weak #3).
+- **speculative honesty**: ngram net tok/s on this run's output with the
+  round cost computed from DEVICE round counts (EngineResult.spec_rounds)
+  and timed INTERLEAVED with the plain program (the round-3 "ngram round
+  costs 2.6x a step" number was two measurement artifacts stacked: a host
+  round simulation that drafted from the finished sequence where the
+  device buffer holds zeros, and ngram always timed minutes after the
+  baseline on a drifting tunnel — tools/spec_round_probe.py,
+  tools/spec_ab_probe.py). Projections to natural English use the
+  device-exact rule simulation (1.07 word-level floor / 1.54 with the
+  byte-fallback subword tokenizer; the real Whisper BPE sits between).
 - **TTFT split**: total vs tunnel RTT (trivial-program round trip) vs
   ex-RTT compute.
 - **offline bs=32 RTFx** (stderr): 600 s of audio as a bs=32 x 30 s batch
@@ -167,50 +173,53 @@ def main():
         f"+ {ttft_ex*1e3:.1f} compute; RTFx@144tok {rtfx_bs1:.1f}")
 
     # --- speculative (ngram) bs=1 diagnostics -------------------------------
-    # Free prompt-lookup drafting + 5-token verify (0.84x a step): exact
-    # greedy content, measured 1.32x on repetitive output
-    # (tools/spec_probe.py). Opt-in (draft="ngram"), reported here.
+    # Free prompt-lookup drafting (two-tier frontier-aware rule) + W-token
+    # verify: exact greedy content, only speed changes. The round cost is
+    # computed from DEVICE round counts and timed INTERLEAVED with plain
+    # so tunnel drift cannot bias the ratio (tools/spec_ab_probe.py:
+    # ngram round 0.241 ms vs plain step 0.271 ms on an interleaved run —
+    # crossover ~1 tok/round, i.e. it never meaningfully loses).
     eng_ng = WhisperEngine(
         params, arch, compute_dtype=compute_dtype, batch_buckets=(1,),
         suppress_tokens=[SpecialTokens().eot], spec_ngram=True)
     log("compiling ngram-speculative programs...")
     eng_ng.transcribe_features(mel, short_opts)
     eng_ng.transcribe_features(mel, long_opts)
-    tns, rns = timed(short_opts, eng=eng_ng)
-    tnl, rnl = timed(long_opts, eng=eng_ng)
-    spec_tok_s = ((int(rnl.num_generated[0]) - int(rns.num_generated[0]))
-                  / max(tnl - tns, 1e-9))
-    # Honesty (round-2 Weak #3): the lookup rule is a deterministic
-    # function of the emitted tokens, so this run's EXACT round counts
-    # come from the host simulation — at BOTH lengths, because
-    # acceptance is non-stationary (early tokens have no lookup history)
-    # and only a differential divides the timing correctly:
-    # t_round = (t_long - t_short) / (rounds_long - rounds_short).
-    # Project to natural English output (1.50 tok/round at the engine's
-    # W=4, real tokenizer — tools/ngram_acceptance_sim.py --window 4)
-    # vs the repetitive best case (3.90); the crossover is
-    # t_round/t_step tokens/round.
-    from tools.ngram_acceptance_sim import simulate
-
-    seq = np.asarray(rnl.tokens[0]).tolist()
-    p_sp = int(rnl.prompt_len)
-    n_sp_l, n_sp_s = int(rnl.num_generated[0]), int(rns.num_generated[0])
-    rounds_l, emitted_l, hist = simulate(seq[: p_sp + n_sp_l],
-                                     eng_ng.spec_window)
-    rounds_s, _, _ = simulate(seq[: p_sp + n_sp_s],
-                          eng_ng.spec_window)
-    tpr_run = emitted_l / max(rounds_l, 1)
-    t_round_ms = (tnl - tns) / max(rounds_l - rounds_s, 1) * 1e3
-    spec_nat = 1.50 / max(t_round_ms, 1e-9) * 1e3
-    log(f"bs=1 ngram-speculative: {spec_tok_s:.1f} tok/s "
-        f"({spec_tok_s / max(tok_s, 1e-9):.2f}x plain) on this run's "
-        f"output at {tpr_run:.2f} tok/round "
-        f"(histogram {' '.join(f'm={i}:{c}' for i, c in enumerate(hist))})")
-    log(f"  -> differential round cost {t_round_ms:.3f} ms "
-        f"({t_round_ms * tok_s / 1e3:.2f}x a plain step, crossover "
-        f"{t_round_ms * tok_s / 1e3:.2f} tok/round); projected "
-        f"natural-output (1.50 tok/round @W4): "
-        f"{spec_nat:.0f} tok/s = {spec_nat / max(tok_s, 1e-9):.2f}x plain")
+    P_s, P_l, N_s, N_l = [], [], [], []
+    rn_s = rn_l = None
+    for _ in range(8):
+        t0 = time.perf_counter(); engine.transcribe_features(mel, short_opts)
+        P_s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); engine.transcribe_features(mel, long_opts)
+        P_l.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); rn_s = eng_ng.transcribe_features(mel, short_opts)
+        N_s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); rn_l = eng_ng.transcribe_features(mel, long_opts)
+        N_l.append(time.perf_counter() - t0)
+    med = statistics.median
+    n_sp_l, n_sp_s = int(rn_l.num_generated[0]), int(rn_s.num_generated[0])
+    emitted = n_sp_l - n_sp_s
+    plain_i = emitted / max(med(P_l) - med(P_s), 1e-9)   # interleaved plain
+    spec_tok_s = emitted / max(med(N_l) - med(N_s), 1e-9)
+    d_rounds = max(rn_l.spec_rounds - rn_s.spec_rounds, 1)
+    tpr_run = emitted / d_rounds
+    t_round_ms = (med(N_l) - med(N_s)) / d_rounds * 1e3
+    t_step_ms = 1e3 / plain_i
+    xo = t_round_ms / t_step_ms                           # crossover tok/round
+    log(f"bs=1 ngram-speculative (interleaved): {spec_tok_s:.1f} tok/s "
+        f"({spec_tok_s / max(plain_i, 1e-9):.2f}x plain {plain_i:.0f}) on "
+        f"this run's output at {tpr_run:.2f} tok/round (device rounds "
+        f"{rn_s.spec_rounds}/{rn_l.spec_rounds})")
+    # Natural-English projection band (device-exact rule sim on prose):
+    # 1.07 tok/round word-level floor, 1.54 byte-fallback subword; the
+    # real Whisper BPE sits between. Repetitive refrain: 4.64 (W=4).
+    proj = {name: tpr / xo for name, tpr in
+            (("natural-floor", 1.07), ("natural-subword", 1.54),
+             ("repetitive", 4.64))}
+    log(f"  -> round cost {t_round_ms:.3f} ms = {xo:.2f}x a plain step "
+        f"(crossover {xo:.2f} tok/round); projected "
+        + ", ".join(f"{k} {v:.2f}x" for k, v in proj.items()))
+    spec_nat = proj["natural-floor"] * plain_i
     del eng_ng
 
     # --- bs=1 LONG-FORM RTFx: the reference's actual protocol ---------------
@@ -366,7 +375,8 @@ def main():
         "rtfx_bs1_longform": round(rtfx_lf, 1),
         "spec_ngram_tok_s": round(spec_tok_s, 1),
         "spec_run_tok_per_round": round(tpr_run, 2),
-        "spec_ngram_natural_tok_s": round(spec_nat, 1),
+        "spec_round_cost_x_step": round(xo, 2),
+        "spec_ngram_natural_floor_tok_s": round(spec_nat, 1),
         "stream_p50_ms": round(p50, 1),
         "stream_p95_ms": round(p95, 1),
         "offline_bs32_rtfx112": round(rtfx112, 1),

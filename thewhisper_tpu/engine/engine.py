@@ -134,10 +134,12 @@ class WhisperEngine:
         greedy calls only (``num_beams == 1``, ``temperature == 0``).
         ``spec_ngram=True`` speculates via prompt-lookup drafting
         instead of a model (no extra weights). Honest cost model
-        (tools/spec_honesty_probe.py): an ngram round costs ~2.6x a
-        plain step end to end, so it wins only when output repeats
-        (>= ~2.6 tokens/round; 1.62x measured on a repetitive run) and
-        LOSES (~0.6x) on natural English — keep it opt-in.
+        (tools/spec_ab_probe.py, device round counts + interleaved
+        timing): a lookup round costs ~1.0x a plain step (0.80-1.18
+        across runs), so the crossover is ~1 token/round — worst case
+        ~0.9x plain at zero acceptance, 3.4-4.6x measured on repetitive
+        output, ~1.0-1.5x projected on natural English
+        (tokenizer-dependent).
 
         ``mesh``: a ``(dp, tp)`` ``jax.sharding.Mesh`` for multi-chip
         serving. Pass params already placed with

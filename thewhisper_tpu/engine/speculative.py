@@ -12,9 +12,11 @@ never content (bit-exact in f32, tests/test_speculative.py). One honest
 caveat: the verify pass computes the same math as the single-token step
 with different matmul shapes, so in bf16 the logits differ by ULPs and a
 near-tied argmax can resolve differently — the same nondeterminism class
-as changing the batch size. Measured on a real v5e (tools/spec_probe.py):
-a 5-token verify costs 0.84x a single step, and free ngram drafting gives
-1.40x end-to-end at bs=1 on repetitive output.
+as changing the batch size. Measured on a real v5e with device round
+counts and interleaved A/B timing (tools/spec_ab_probe.py): a lookup
+round costs ~1.0x a single step (0.80-1.18 across runs), and free ngram
+drafting gives 3.4-4.6x end-to-end at bs=1 on repetitive output
+(two-tier rule, W=4; W=8 reaches 5.57 tok/round at the same round cost).
 
 The reference has no analog (its per-token host round trip,
 ``apple/model.py:155-255``, makes multi-token verification moot); this is
@@ -171,11 +173,13 @@ def speculative_decode(
     target's greedy choice.
 
     ``ngram_draft=True`` drafts by prompt lookup instead of a model: the
-    continuation of the most recent earlier occurrence of the current
-    bigram in the generated prefix. Zero extra weights, zero extra cache,
-    and a verify pass costs ~1.01x a single step (tools/spec_probe.py) —
-    so it can never meaningfully lose, and wins whenever speech repeats
-    (refrains, hesitations, hallucination loops). ``draft_params`` /
+    continuation of an earlier occurrence of the current bigram in the
+    generated prefix (two-tier rule — see ngram_propose). Zero extra
+    weights, zero extra cache; a lookup round costs ~1.0x a plain step
+    measured with device round counts + interleaved timing
+    (tools/spec_ab_probe.py) — so it can never meaningfully lose, and
+    wins whenever speech repeats (refrains, hesitations, hallucination
+    loops: 3.4-4.6x measured at W=4). ``draft_params`` /
     ``draft_arch`` / ``draft_cache`` are ignored and may be None.
 
     ``proposal_tokens`` drafts from an externally supplied expected

@@ -1,5 +1,11 @@
 """Where do the ~0.31 ms/round of ngram-draft overhead go?
 
+RESOLVED (see tools/spec_ab_probe.py): nowhere — the overhead was a
+measurement artifact (host-simulated round counts + non-interleaved
+timing on a drifting tunnel). This probe's finding stands: the lookup
+math is ~1.5 us standalone, consistent with the final interleaved
+measurement that an ngram round costs the same as a plain step.
+
 spec_honesty_probe measured an all-wrong PROPOSAL round at 0.281 ms but
 an ngram round at ~0.594 ms — the difference is ngram_propose (the
 on-device bigram lookup) plus whatever its lowering drags in. This probe

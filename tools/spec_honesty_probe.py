@@ -1,5 +1,16 @@
 """Honest speculative-decoding numbers on real TPU (round-2 Weak #3).
 
+SUPERSEDED by tools/spec_round_probe.py + tools/spec_ab_probe.py: this
+probe's round-count denominator comes from a host simulation that
+drafts from the FINISHED sequence, but the device buffer holds zeros
+beyond the write frontier — on short-period repetitive output the sim
+undercounts rounds up to 2.5x, which is exactly how this probe's
+"ngram round costs ~2.6x a step" conclusion arose (the other half was
+timing the ngram block minutes after the baseline on a drifting
+tunnel). Kept for the controlled-acceptance proposal methodology; for
+round costs use the device counter (EngineResult.spec_rounds) and
+interleaved timing.
+
 The round-2 headline (5184-6991 tok/s, 1.40-1.95x) was measured on
 repetitive output — prompt-lookup drafting's best case. This probe
 produces the defensible numbers:
