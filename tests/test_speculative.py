@@ -237,6 +237,76 @@ def test_engine_ngram_speculative_matches_plain(tiny):
         np.testing.assert_array_equal(b.tokens[i, :upto], a.tokens[i, :upto])
 
 
+def test_unrolled_decoder_scans_match_rolled(tiny, monkeypatch):
+    """WHISPER_DECODER_UNROLL=4 (the TPU small-batch default) is
+    semantics-preserving for prefill/step/verify.
+
+    The unroll default is backend-gated (TPU only — on XLA:CPU the 4x
+    loop bodies multiply compile time across every bucketed program),
+    so the CPU suite runs rolled; this test pins the unrolled trace
+    explicitly via the env override.
+    """
+    arch, params = tiny
+    mel = np.random.default_rng(21).standard_normal(
+        (2, arch.n_mels, 100)).astype(np.float32)
+    opts = GenerationOptions(max_new_tokens=12, language="en",
+                             return_timestamps=True)
+
+    def run():
+        eng = WhisperEngine(params, arch, special=SP, batch_buckets=(2,),
+                            spec_ngram=True, spec_window=W)
+        return eng.transcribe_features(mel, opts)
+
+    rolled = run()
+    monkeypatch.setenv("WHISPER_DECODER_UNROLL", "4")
+    unrolled = run()
+    np.testing.assert_array_equal(rolled.tokens, unrolled.tokens)
+    np.testing.assert_array_equal(rolled.num_generated,
+                                  unrolled.num_generated)
+    assert rolled.spec_rounds == unrolled.spec_rounds
+    np.testing.assert_allclose(rolled.align, unrolled.align,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ngram_device_rounds_match_exact_simulation(tiny):
+    """The device-side round counter equals the host device-exact sim.
+
+    Locks two invariants at once: (1) EngineResult.spec_rounds counts
+    real while-loop iterations, and (2) simulate_device(two_tier=True)
+    replicates ngram_propose bit-for-bit (frontier zeros, two-tier hit
+    selection, fallback drafts). This is the measurement backbone of the
+    speculative cost model (tools/spec_ab_probe.py) — the round-3
+    "2.6x-a-step round cost" error came precisely from a host sim that
+    diverged from the device rule.
+    """
+    from ngram_acceptance_sim import simulate_device
+
+    arch, params = tiny
+    eng = WhisperEngine(params, arch, special=SP, batch_buckets=(1,),
+                        spec_ngram=True, spec_window=W,
+                        suppress_tokens=[SP.eot])
+    for seed in (3, 7, 11):
+        mel = np.random.default_rng(seed).standard_normal(
+            (1, arch.n_mels, 100)).astype(np.float32)
+        res = eng.transcribe_features(
+            mel, GenerationOptions(max_new_tokens=40, language="en"))
+        assert res.spec_rounds is not None and res.spec_rounds > 0
+        n = int(res.num_generated[0])
+        full = np.asarray(res.tokens[0, : res.prompt_len + n]).tolist()
+        sim_rounds, _, _ = simulate_device(
+            full, res.prompt_len, W, two_tier=True)
+        assert res.spec_rounds == sim_rounds, (
+            f"seed {seed}: device {res.spec_rounds} != sim {sim_rounds}")
+
+    # Plain greedy does not report rounds.
+    plain = WhisperEngine(params, arch, special=SP, batch_buckets=(1,))
+    mel = np.random.default_rng(3).standard_normal(
+        (1, arch.n_mels, 100)).astype(np.float32)
+    res = plain.transcribe_features(
+        mel, GenerationOptions(max_new_tokens=8, language="en"))
+    assert res.spec_rounds is None
+
+
 def test_speculative_exact_with_proposal_tokens(tiny):
     """External proposal drafts (the streaming cross-tick case): exact
     greedy whether the guess is perfect, garbage, or half-right."""

@@ -514,6 +514,28 @@ def _cross_and_mlp(h, lp, n_heads, cross_k, cross_v, align_sel):
     return h, align
 
 
+def _decoder_unroll(arch: WhisperArch, batch: int) -> int:
+    """Layer-scan unroll policy shared by prefill/step/verify.
+
+    Unrolling removes per-iteration loop overhead from the small-batch
+    decoder passes on TPU: bs=1 int8 3320 -> 4115 tok/s for the step
+    (tools/decode_bs1_probe.py). At bs=32 the pass is cross-KV-bound and
+    unroll measured a ~2% LOSS, so large batches stay rolled; capped at
+    4 so deep decoders (large-v3: 32 layers) keep compile time flat. On
+    CPU (tests, dryrun) the win doesn't exist but the 4x-larger loop
+    bodies multiply XLA:CPU compile time across every bucketed program —
+    default rolled there. WHISPER_DECODER_UNROLL overrides everything.
+    """
+    import os
+
+    env = os.environ.get("WHISPER_DECODER_UNROLL")
+    if env is not None:
+        return int(env)
+    if batch > 8 or jax.default_backend() != "tpu":
+        return 1
+    return min(4, arch.decoder_layers)
+
+
 def _stack_prefill(params, x, arch, self_mask, cache, cache_index, align_sel):
     """Prompt pass: fill cache slots [cache_index, cache_index + S).
 
@@ -549,7 +571,10 @@ def _stack_prefill(params, x, arch, self_mask, cache, cache_index, align_sel):
     layers = dict(dec["layers"])
     layers["_align_sel"] = jnp.asarray(align_sel)
     xs = (layers, cache.cross_k, cache.cross_v, cache.self_k, cache.self_v)
-    x, (new_k, new_v, aligns) = jax.lax.scan(layer, x, xs)
+    # Prefill is once per call but sits on the TTFT path; same unroll
+    # policy as _stack_step/_stack_verify.
+    x, (new_k, new_v, aligns) = jax.lax.scan(
+        layer, x, xs, unroll=_decoder_unroll(arch, x.shape[0]))
     new_cache = DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
     x = _layer_norm(x, dec["ln_post"]["scale"], dec["ln_post"]["bias"])
     return x, new_cache, jnp.sum(aligns, axis=0)
@@ -598,20 +623,8 @@ def _stack_step(params, x, arch, cache, position, align_sel):
     layers = dict(dec["layers"])
     layers["_align_sel"] = jnp.asarray(align_sel)
     xs = (layers, cache.cross_k, cache.cross_v, cache.self_k, cache.self_v)
-    import os
-
-    # Unrolling the per-token layer scan removes per-iteration loop
-    # overhead from the hot decode step at small batch: bs=1 int8 3320 ->
-    # 4115 tok/s on v5e (tools/decode_bs1_probe.py). At bs=32 the step is
-    # cross-KV-bandwidth-bound and unrolling measured a ~2% LOSS (1.58 ->
-    # 1.62 ms/step, tools/unroll_bs32_probe.py), so the default keys off
-    # the trace-time batch: unroll small batches, roll large ones. Capped
-    # at 4 so deep decoders (large-v3: 32 layers) don't blow up compile
-    # time. WHISPER_DECODER_UNROLL overrides both.
-    default_unroll = min(4, arch.decoder_layers) if x.shape[0] <= 8 else 1
-    unroll = int(os.environ.get(
-        "WHISPER_DECODER_UNROLL", str(default_unroll)))
-    x, (k_new, v_new, aligns) = jax.lax.scan(layer, x, xs, unroll=unroll)
+    x, (k_new, v_new, aligns) = jax.lax.scan(
+        layer, x, xs, unroll=_decoder_unroll(arch, x.shape[0]))
     # Cache write as a fused elementwise select, NOT dynamic_update_slice:
     # XLA's DUS on a while-loop carry lowers to a pathological strided
     # kernel (~850 us for this 24 MB buffer on v5e); where(iota==pos, ...)
@@ -771,7 +784,11 @@ def _stack_verify(params, x, arch, cache, positions, align_sel):
     layers = dict(dec["layers"])
     layers["_align_sel"] = jnp.asarray(align_sel)
     xs = (layers, cache.cross_k, cache.cross_v, cache.self_k, cache.self_v)
-    x, (k_new, v_new, aligns) = jax.lax.scan(layer, x, xs)
+    # Same policy as _stack_step: the verify pass is the speculative
+    # round's hot body and equally loop-overhead-bound at small batch
+    # (the W extra query rows ride the same weight read).
+    x, (k_new, v_new, aligns) = jax.lax.scan(
+        layer, x, xs, unroll=_decoder_unroll(arch, b))
     # Scatter window slots per sample: onehot[b, w, s] = (s == pos_b + w).
     slot_rows = positions[:, None] + jnp.arange(w)[None, :]      # (B, W)
     onehot = (slot_rows[:, :, None]
