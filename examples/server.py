@@ -70,7 +70,12 @@ def main():
             model_size=os.getenv("ASR_MODEL_SIZE") or None,
             draft=os.getenv("ASR_DRAFT") or None,
             latency_buckets=buckets or None,
-            reuse_previous_tokens=os.getenv("ASR_REUSE_PREV", "0") == "1")
+            # Cross-tick proposal reuse defaults ON (59.4 -> 52.8 ms
+            # p50 single-session; in coalesced multi-session batches a
+            # membership change misaligns rows for one tick, which only
+            # costs verify misses at ~step price — output unchanged).
+            # ASR_REUSE_PREV=0 forces the plain path.
+            reuse_previous_tokens=os.getenv("ASR_REUSE_PREV", "1") == "1")
 
         if os.getenv("ASR_WARMUP", "1") != "0":
             import numpy as np
