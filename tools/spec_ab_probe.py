@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--short", type=int, default=16)
     ap.add_argument("--window", type=int, default=4)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batch rows (DIFFERENT noise per row, so "
+                    "per-row acceptance diverges and the shared round "
+                    "count is driven by the slowest row — the honest "
+                    "large-batch ngram question)")
     args = ap.parse_args()
 
     import jax
@@ -55,12 +60,14 @@ def main():
         init_params(arch, seed=0, dtype=jnp.bfloat16),
         components=("decoder",))
     sp = SpecialTokens()
-    kw = dict(compute_dtype=jnp.bfloat16, batch_buckets=(1,),
-              suppress_tokens=[sp.eot], spec_window=args.window)
+    b = args.batch
+    kw = dict(compute_dtype=jnp.bfloat16, batch_buckets=(b,),
+              suppress_tokens=[sp.eot], spec_window=args.window,
+              cross_kv_int8=(b >= 32))
 
     featurizer = LogMelFeaturizer(n_mels=arch.n_mels, chunk_length_s=10.0)
     rng = np.random.default_rng(0)
-    audio = (0.1 * rng.standard_normal(10 * 16000)).astype(np.float32)
+    audio = (0.1 * rng.standard_normal((b, 10 * 16000))).astype(np.float32)
     mel = np.asarray(featurizer(audio), dtype=np.float32)
 
     o_s = GenerationOptions(max_new_tokens=args.short, language="en")
@@ -73,7 +80,7 @@ def main():
     gen = np.asarray(eng_n.transcribe_features(mel, o_l).tokens)  # compiles n/l
     eng_n.transcribe_features(mel, o_s)
     bad = 300
-    wrong = np.full((1, args.max_new + args.window), bad, np.int32)
+    wrong = np.full((b, args.max_new + args.window), bad, np.int32)
     eng_p.transcribe_features(mel, o_s, draft_tokens=wrong)
     eng_p.transcribe_features(mel, o_l, draft_tokens=wrong)
 
@@ -90,27 +97,24 @@ def main():
         rounds["p_s"] = r.spec_rounds
         t, r = one(eng_p, o_l, wrong); P_l.append(t)
         rounds["p_l"] = r.spec_rounds
-        n_l = int(r.num_generated[0])
         t, r = one(eng_n, o_s, None); N_s.append(t)
         rounds["n_s"] = r.spec_rounds
         t, r = one(eng_n, o_l, None); N_l.append(t)
         rounds["n_l"] = r.spec_rounds
-        n_s = int(r.num_generated[0])
     med = statistics.median
-    n_s16 = args.short  # suppressed EOT -> always fills budget
-    emitted = args.max_new - args.short
+    emitted = args.max_new - args.short   # per row; EOT suppressed
     dp = rounds["p_l"] - rounds["p_s"]
     dn = rounds["n_l"] - rounds["n_s"]
     t_p = (med(P_l) - med(P_s)) / dp * 1e3
     t_n = (med(N_l) - med(N_s)) / dn * 1e3
-    print(f"device rounds: prop {rounds['p_s']}/{rounds['p_l']} "
+    print(f"batch={b} device rounds: prop {rounds['p_s']}/{rounds['p_l']} "
           f"ngram {rounds['n_s']}/{rounds['n_l']}", flush=True)
     print(f"interleaved round cost: proposal {t_p:.3f} ms "
           f"({dp} rounds), ngram {t_n:.3f} ms ({dn} rounds) "
           f"-> ratio {t_n / t_p:.2f}", flush=True)
-    print(f"ngram emitted {emitted} tok in {med(N_l) - med(N_s):.4f} s "
-          f"-> {emitted / (med(N_l) - med(N_s)):.0f} tok/s; "
-          f"{emitted / dn:.2f} tok/round", flush=True)
+    print(f"ngram emitted {b}x{emitted} tok in {med(N_l) - med(N_s):.4f} s "
+          f"-> {b * emitted / (med(N_l) - med(N_s)):.0f} tok/s aggregate; "
+          f"{emitted / dn:.2f} tok/round (slowest-row gated)", flush=True)
     # Per-iteration raw walls, to see drift within the run
     print("raw prop_l walls:", " ".join(f"{t*1e3:.1f}" for t in P_l),
           flush=True)
