@@ -26,9 +26,11 @@ for real ones; throughput is weight-value-independent). Reports:
   round simulation that drafted from the finished sequence where the
   device buffer holds zeros, and ngram always timed minutes after the
   baseline on a drifting tunnel — tools/spec_round_probe.py,
-  tools/spec_ab_probe.py). Projections to natural English use the
-  device-exact rule simulation (1.07 word-level floor / 1.54 with the
-  byte-fallback subword tokenizer; the real Whisper BPE sits between).
+  tools/spec_ab_probe.py). The natural-speech projection uses the
+  MEASURED acceptance on 24,385 real FLEURS transcripts with a
+  corpus-trained Whisper-scale byte-BPE: 1.003 tok/round — i.e. ngram
+  drafting is a no-op on natural speech and a 3.4-4.6x win on
+  repetition/hallucination loops (tools/ngram_natural_stats.py).
 - **TTFT split**: total vs tunnel RTT (trivial-program round trip) vs
   ex-RTT compute.
 - **offline bs=32 RTFx** (stderr): 600 s of audio as a bs=32 x 30 s batch
@@ -210,16 +212,17 @@ def main():
         f"({spec_tok_s / max(plain_i, 1e-9):.2f}x plain {plain_i:.0f}) on "
         f"this run's output at {tpr_run:.2f} tok/round (device rounds "
         f"{rn_s.spec_rounds}/{rn_l.spec_rounds})")
-    # Natural-English projection band (device-exact rule sim on prose):
-    # 1.07 tok/round word-level floor, 1.54 byte-fallback subword; the
-    # real Whisper BPE sits between. Repetitive refrain: 4.64 (W=4).
+    # Natural-speech acceptance MEASURED on 24,385 real FLEURS
+    # transcripts (corpus-trained Whisper-scale byte-BPE, device-exact
+    # rule): 1.003 tok/round — ~25-token utterance windows contain no
+    # repeated bigrams (tools/ngram_natural_stats.py). Repetitive
+    # refrain: 4.64 (W=4).
     proj = {name: tpr / xo for name, tpr in
-            (("natural-floor", 1.07), ("natural-subword", 1.54),
-             ("repetitive", 4.64))}
+            (("natural", 1.003), ("repetitive", 4.64))}
     log(f"  -> round cost {t_round_ms:.3f} ms = {xo:.2f}x a plain step "
         f"(crossover {xo:.2f} tok/round); projected "
         + ", ".join(f"{k} {v:.2f}x" for k, v in proj.items()))
-    spec_nat = proj["natural-floor"] * plain_i
+    spec_nat = proj["natural"] * plain_i
     del eng_ng
 
     # --- bs=1 LONG-FORM RTFx: the reference's actual protocol ---------------
@@ -376,7 +379,7 @@ def main():
         "spec_ngram_tok_s": round(spec_tok_s, 1),
         "spec_run_tok_per_round": round(tpr_run, 2),
         "spec_round_cost_x_step": round(xo, 2),
-        "spec_ngram_natural_floor_tok_s": round(spec_nat, 1),
+        "spec_ngram_natural_tok_s": round(spec_nat, 1),
         "stream_p50_ms": round(p50, 1),
         "stream_p95_ms": round(p95, 1),
         "offline_bs32_rtfx112": round(rtfx112, 1),

@@ -517,14 +517,19 @@ def _cross_and_mlp(h, lp, n_heads, cross_k, cross_v, align_sel):
 def _decoder_unroll(arch: WhisperArch, batch: int) -> int:
     """Layer-scan unroll policy shared by prefill/step/verify.
 
-    Unrolling removes per-iteration loop overhead from the small-batch
-    decoder passes on TPU: bs=1 int8 3320 -> 4115 tok/s for the step
-    (tools/decode_bs1_probe.py). At bs=32 the pass is cross-KV-bound and
-    unroll measured a ~2% LOSS, so large batches stay rolled; capped at
-    4 so deep decoders (large-v3: 32 layers) keep compile time flat. On
-    CPU (tests, dryrun) the win doesn't exist but the 4x-larger loop
-    bodies multiply XLA:CPU compile time across every bucketed program —
-    default rolled there. WHISPER_DECODER_UNROLL overrides everything.
+    FULLY unrolling a shallow decoder removes the scan's per-iteration
+    overhead from the small-batch passes on TPU: turbo (4 layers) bs=1
+    int8 3320 -> 4115 tok/s (tools/decode_bs1_probe.py). PARTIAL unroll
+    of a deep decoder is the opposite — on large-v3 (32 layers) the
+    int8 step measured 2.07 ms rolled vs 2.87 at unroll=4 and 4.82 at
+    unroll=16 (bf16: 3.0 vs 5.2), i.e. bigger scan bodies scheduled
+    WORSE than the rolled loop (tools/xl_unroll_probe.py) — so the
+    policy is full-unroll-or-roll. At bs=32 the pass is cross-KV-bound
+    and even turbo's full unroll measured a ~2% LOSS, so large batches
+    stay rolled. On CPU (tests, dryrun) the win doesn't exist but the
+    4x-larger loop bodies multiply XLA:CPU compile time across every
+    bucketed program — default rolled there. WHISPER_DECODER_UNROLL
+    overrides everything.
     """
     import os
 
@@ -533,7 +538,7 @@ def _decoder_unroll(arch: WhisperArch, batch: int) -> int:
         return int(env)
     if batch > 8 or jax.default_backend() != "tpu":
         return 1
-    return min(4, arch.decoder_layers)
+    return arch.decoder_layers if arch.decoder_layers <= 4 else 1
 
 
 def _stack_prefill(params, x, arch, self_mask, cache, cache_index, align_sel):

@@ -67,6 +67,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true",
                     help="also measure the bf16 ('XL'-engine analog) step")
+    ap.add_argument("--e2e-only", action="store_true",
+                    help="skip the micro section (step/verify/draft)")
     ap.add_argument("--window", type=int, default=4)
     args = ap.parse_args()
     w = args.window
@@ -102,6 +104,10 @@ def main():
 
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((1, 128, 1000)).astype(np.float32))
+    if args.e2e_only:
+        mel_np = np.asarray(mel, np.float32)
+        _e2e_section(args, w, params, arch, dt, mel_np)
+        return
     enc = jax.jit(lambda p, m: encoder_forward(p, m, arch, dt))(params, mel)
     s_cap = 4 + 160 + w + 1
 
@@ -163,24 +169,24 @@ def main():
     del cache, d_cache, enc
     if args.bf16:
         del cache_bf
+    mel_np = np.asarray(mel, np.float32)
+    _e2e_section(args, w, params, arch, dt, mel_np)
+
+
+def _e2e_section(args, w, params, arch, dt, mel_np):
+    import numpy as np
+
+    from thewhisper_tpu.config import GenerationOptions, SpecialTokens
+    from thewhisper_tpu.engine import WhisperEngine
+
     sp = SpecialTokens()
     ek = dict(compute_dtype=dt, batch_buckets=(1,),
               suppress_tokens=[sp.eot], spec_window=w)
     o_s = GenerationOptions(max_new_tokens=16, language="en")
     o_l = GenerationOptions(max_new_tokens=144, language="en")
-    mel_np = np.asarray(mel, np.float32)
 
     eng = WhisperEngine(params, arch, **ek)
     eng_p = WhisperEngine(params, arch, **ek)  # proposal variant programs
-
-    def timed(fn, n=8):
-        ts = []
-        res = None
-        for _ in range(n):
-            t0 = time.perf_counter()
-            res = fn()
-            ts.append(time.perf_counter() - t0)
-        return statistics.median(ts), res
 
     log("compiling e2e programs...")
     r_l = eng.transcribe_features(mel_np, o_l)
