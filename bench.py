@@ -37,6 +37,10 @@ for real ones; throughput is weight-value-independent). Reports:
   with device-resident input, decode differential -> ms/step, RTFx at 112
   and 224 steps (round-1 methodology; reference L40S "S" bs=32: 516.90).
   Measured with int8 cross-KV (default for this shape) and bf16 cross-KV.
+- **large-v3 bs=1 decode** (stderr + JSON): the model the reference's
+  220 tok/s headline is actually about (turbo numbers above compare
+  across architectures). Params generated on device; rolled layer scan
+  per the full-unroll-or-roll policy (tools/xl_unroll_probe.py).
 
 Prints ONE JSON line to stdout:
   {"metric": "decode_tok_s", "value": ..., "unit": "tok/s", "vs_baseline": ...}
@@ -295,6 +299,36 @@ def main():
     log(f"p50/p95 streaming chunk latency (9s buffer, 32 tok + align, "
         f"fused): {p50:.1f} / {p95:.1f} ms")
 
+    # --- large-v3 ("XL" family): the reference's 220 tok/s headline model --
+    # README.md:19's claim is for whisper-large-v3 (32 decoder layers),
+    # not turbo. Params are generated ON DEVICE (init_params_device +
+    # device-path quantization: host init costs ~13 min over the tunnel)
+    # — decode throughput is weight-value-independent. Rolled layer scan
+    # (the default: partial unroll of deep decoders measured a loss,
+    # tools/xl_unroll_probe.py).
+    from thewhisper_tpu.models.whisper import init_params_device
+
+    arch_xl = dataclasses.replace(
+        ARCH_PRESETS["large-v3"], max_source_positions=500,
+        alignment_heads=((7, 0), (14, 3), (28, 7)))
+    log("initializing large-v3 on device + int8 S-mode...")
+    params_xl = quantize_params(
+        init_params_device(arch_xl, seed=0, dtype=compute_dtype),
+        components=("decoder",))
+    eng_xl = WhisperEngine(
+        params_xl, arch_xl, compute_dtype=compute_dtype, batch_buckets=(1,),
+        suppress_tokens=[SpecialTokens().eot])
+    log("compiling large-v3 programs (16/144 tok)...")
+    eng_xl.transcribe_features(mel, short_opts)
+    eng_xl.transcribe_features(mel, long_opts)
+    t_s_xl, r_s_xl = timed(short_opts, iters=6, eng=eng_xl)
+    t_l_xl, r_l_xl = timed(long_opts, iters=6, eng=eng_xl)
+    xl_tok_s = (int(r_l_xl.num_generated[0]) - int(r_s_xl.num_generated[0])
+                ) / max(t_l_xl - t_s_xl, 1e-9)
+    log(f"large-v3 bs=1 int8-S: {xl_tok_s:.1f} tok/s "
+        f"({xl_tok_s / 220.0:.2f}x the reference claim on the SAME arch)")
+    del eng_xl, params_xl
+
     # --- offline bs=32 RTFx (30 s windows, device-resident input) ----------
     del engine
     arch30 = dataclasses.replace(
@@ -386,6 +420,8 @@ def main():
         "offline_bs32_rtfx224": round(rtfx224, 1),
         "offline_bs32_rtfx112_splus": round(rtfx112_p, 1),
         "offline_bs32_rtfx224_splus": round(rtfx224_p, 1),
+        "xl_decode_tok_s": round(xl_tok_s, 1),
+        "xl_vs_baseline_same_arch": round(xl_tok_s / 220.0, 3),
     }))
 
 

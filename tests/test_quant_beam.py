@@ -423,3 +423,25 @@ def test_detect_then_transcribe_composition(tiny):
     res = eng.transcribe_features(
         mel, GenerationOptions(max_new_tokens=4), languages=codes)
     assert res.tokens.shape[0] == 2
+
+
+def test_device_quantization_bit_parity_and_device_init_schema(tiny):
+    """Device-path quantization (jax.Array leaves stay on device — no
+    per-leaf tunnel download) is bit-identical to the host numpy path,
+    and init_params_device mirrors init_params' tree schema exactly."""
+    import jax
+
+    from thewhisper_tpu.models.whisper import init_params_device
+
+    arch, params = tiny
+    host_leaves = jax.tree.map(np.asarray, params)
+    q_dev = quantize_params(params, components=("decoder",))
+    q_host = quantize_params(host_leaves, components=("decoder",))
+    for a, b in zip(jax.tree.leaves(q_dev), jax.tree.leaves(q_host)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    dev = init_params_device(arch, seed=0, dtype=jnp.bfloat16)
+    ref = init_params(arch, seed=0, dtype=jnp.bfloat16)
+    assert jax.tree.structure(dev) == jax.tree.structure(ref)
+    assert (jax.tree.map(lambda x: (x.shape, str(x.dtype)), dev)
+            == jax.tree.map(lambda x: (x.shape, str(x.dtype)), ref))

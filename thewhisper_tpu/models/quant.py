@@ -36,6 +36,14 @@ def quantize_weight(w: np.ndarray, bits: int = 8) -> Dict[str, Any]:
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     qmax = 127 if bits == 8 else 7
     dtype = jnp.int8 if bits == 8 else jnp.int4
+    if isinstance(w, jax.Array):
+        # Device path: no host round trip (a tunneled chip pays ~25 ms
+        # RTT + the full bf16 download PER LEAF via np.asarray — 3 GB of
+        # large-v3 params cost ~7 minutes that way). Same math as below.
+        wf = w.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2), 1e-8) / qmax
+        q = jnp.clip(jnp.round(wf / scale[..., None, :]), -qmax, qmax)
+        return {"q": q.astype(dtype), "s": scale}
     w = np.asarray(w, dtype=np.float32)
     scale = np.max(np.abs(w), axis=-2)            # (..., out)
     scale = np.maximum(scale, 1e-8) / qmax
@@ -58,6 +66,11 @@ def quantize_embedding(w: np.ndarray) -> Dict[str, Any]:
     Row scales let the tied logits matmul run as (x @ q^T) * s — the scale
     applies AFTER the contraction, so nothing dequantized materializes.
     """
+    if isinstance(w, jax.Array):
+        wf = w.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-1), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(wf / scale[:, None]), -127, 127)
+        return {"q": q.astype(jnp.int8), "s": scale}
     w = np.asarray(w, dtype=np.float32)
     scale = np.maximum(np.max(np.abs(w), axis=-1), 1e-8) / 127.0   # (V,)
     q = np.clip(np.round(w / scale[:, None]), -127, 127).astype(np.int8)
@@ -112,7 +125,10 @@ def quantize_params(
     def convert(tree):
         if isinstance(tree, dict):
             return {
-                k: (make(np.asarray(v))
+                # Device arrays quantize on device (bit-identical math;
+                # np.asarray here would download every leaf through the
+                # tunnel), host arrays on host.
+                k: (make(v if isinstance(v, jax.Array) else np.asarray(v))
                     if k in _QUANT_KEYS and not (
                         is_quantized(v) or is_quantized_w8a8(v))
                     else convert(v))
@@ -126,8 +142,9 @@ def quantize_params(
         if comp == "decoder" and quantize_embedding_table:
             dec = dict(out["decoder"])
             if not is_quantized(dec.get("token_emb")):
+                emb = params["decoder"]["token_emb"]
                 dec["token_emb"] = quantize_embedding(
-                    np.asarray(params["decoder"]["token_emb"]))
+                    emb if isinstance(emb, jax.Array) else np.asarray(emb))
             out["decoder"] = dec
     return out
 

@@ -963,3 +963,58 @@ def init_params(
         },
     }
     return params
+
+
+def init_params_device(
+    arch: WhisperArch, seed: int = 0, dtype: jnp.dtype = jnp.float32
+) -> WhisperParams:
+    """:func:`init_params`, generated ON DEVICE with ``jax.random``.
+
+    Same tree schema and 0.02-scaled-normal statistics, different RNG
+    stream (numpy vs threefry) — use wherever the VALUES don't matter
+    (benchmarks, probes, compile warming). Rationale: host init of
+    large-v3 costs ~13 min over the tunneled chip (3.1 GB generated on
+    host + transferred); on-device generation is seconds.
+    """
+    import jax.random as jr
+
+    d, ff = arch.d_model, arch.d_ff
+    key = iter(jr.split(jr.PRNGKey(seed), 64))
+
+    def mat(*shape):
+        return 0.02 * jr.normal(next(key), shape, jnp.float32).astype(dtype)
+
+    def attn(L):
+        return {"q_w": mat(L, d, d), "q_b": jnp.zeros((L, d), dtype),
+                "k_w": mat(L, d, d),
+                "v_w": mat(L, d, d), "v_b": jnp.zeros((L, d), dtype),
+                "o_w": mat(L, d, d), "o_b": jnp.zeros((L, d), dtype)}
+
+    def ln(L=None):
+        shape = (d,) if L is None else (L, d)
+        return {"scale": jnp.ones(shape, dtype),
+                "bias": jnp.zeros(shape, dtype)}
+
+    def mlp(L):
+        return {"fc1_w": mat(L, d, ff), "fc1_b": jnp.zeros((L, ff), dtype),
+                "fc2_w": mat(L, ff, d), "fc2_b": jnp.zeros((L, d), dtype)}
+
+    Le, Ld = arch.encoder_layers, arch.decoder_layers
+    return {
+        "encoder": {
+            "conv1": {"w": mat(d, arch.n_mels, 3), "b": jnp.zeros((d,), dtype)},
+            "conv2": {"w": mat(d, d, 3), "b": jnp.zeros((d,), dtype)},
+            "pos_emb": jnp.asarray(
+                _sinusoids(arch.max_source_positions, d), dtype),
+            "layers": {"attn": attn(Le), "ln1": ln(Le), "ln2": ln(Le),
+                       "mlp": mlp(Le)},
+            "ln_post": ln(),
+        },
+        "decoder": {
+            "token_emb": mat(arch.vocab_size, d),
+            "pos_emb": mat(arch.max_target_positions, d),
+            "layers": {"self": attn(Ld), "cross": attn(Ld), "ln1": ln(Ld),
+                       "ln_cross": ln(Ld), "ln2": ln(Ld), "mlp": mlp(Ld)},
+            "ln_post": ln(),
+        },
+    }

@@ -86,7 +86,7 @@ def main():
         decoder_step,
         decoder_verify,
         encoder_forward,
-        init_params,
+        init_params_device,
         make_cache,
     )
 
@@ -95,10 +95,12 @@ def main():
         ARCH_PRESETS["large-v3"], max_source_positions=500,
         alignment_heads=((7, 0), (14, 3), (28, 7)))
     dt = jnp.bfloat16
-    log("init large-v3 params (bf16 ~3.1 GB, then int8 decoder)...")
+    log("init large-v3 params on device (host init costs ~13 min over "
+        "the tunnel)...")
     t0 = time.time()
-    params_bf16 = init_params(arch, seed=0, dtype=dt)
+    params_bf16 = init_params_device(arch, seed=0, dtype=dt)
     params = quantize_params(params_bf16, components=("decoder",))
+    jax.tree.map(lambda x: x.block_until_ready(), params)
     draft4, darch4 = make_layer_skip_draft(params, arch, 4)
     log(f"  ready in {time.time() - t0:.0f}s")
 

@@ -33,48 +33,6 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def device_init(arch, dtype):
-    """init_params' tree, generated on device (zeros + tiny iota jitter:
-    quantize_params needs non-degenerate scales, timing needs nothing)."""
-    import jax.numpy as jnp
-
-    d, ff = arch.d_model, arch.d_ff
-
-    def mat(*shape):
-        n = int(np.prod(shape))
-        x = (jnp.arange(n, dtype=jnp.float32) % 1001 - 500.0) * 4e-5
-        return x.reshape(shape).astype(dtype)
-
-    def vec(n, val=0.0):
-        return jnp.full((n,), val, dtype)
-
-    def attn(L):
-        return {"q_w": mat(L, d, d), "q_b": jnp.zeros((L, d), dtype),
-                "k_w": mat(L, d, d),
-                "v_w": mat(L, d, d), "v_b": jnp.zeros((L, d), dtype),
-                "o_w": mat(L, d, d), "o_b": jnp.zeros((L, d), dtype)}
-
-    def ln(L):
-        return {"scale": jnp.ones((L, d), dtype),
-                "bias": jnp.zeros((L, d), dtype)}
-
-    L = arch.decoder_layers
-    layers = {
-        "self": attn(L), "cross": attn(L),
-        "ln1": ln(L), "ln_cross": ln(L), "ln2": ln(L),
-        "mlp": {"fc1_w": mat(L, d, ff), "fc1_b": jnp.zeros((L, ff), dtype),
-                "fc2_w": mat(L, ff, d), "fc2_b": jnp.zeros((L, d), dtype)},
-    }
-    return {
-        "decoder": {
-            "token_emb": mat(arch.vocab_size, d),
-            "pos_emb": mat(arch.max_target_positions, d),
-            "layers": layers,
-            "ln_post": {"scale": vec(d, 1.0), "bias": vec(d)},
-        }
-    }
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--unrolls", default="1,4,8,16")
@@ -91,6 +49,7 @@ def main():
         compute_cross_kv,
         decoder_prefill,
         decoder_step,
+        init_params_device,
         make_cache,
     )
 
@@ -100,7 +59,9 @@ def main():
         alignment_heads=((1, 0), (3, 3)))
     dt = jnp.bfloat16
     t0 = time.time()
-    params_bf = device_init(arch, dt)
+    # Decoder only: the step never touches encoder weights, and the
+    # full large-v3 encoder would double the device-init footprint.
+    params_bf = {"decoder": init_params_device(arch, dtype=dt)["decoder"]}
     params = quantize_params(params_bf, components=("decoder",))
     jax.tree.map(lambda x: x.block_until_ready(), params)
     log(f"device init: {time.time() - t0:.1f}s")
