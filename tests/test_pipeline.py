@@ -339,3 +339,27 @@ def test_offset_window_path_matches_sequential(tiny_pipeline):
     finally:
         pl.PIPELINE_DEPTH = old
     assert seq == off
+
+
+def test_batched_offset_window_path_matches_sequential(tiny_pipeline):
+    """The BATCHED offset-window path (all slices of a window batch run
+    inside one program — the large-batch long-form protocol) must match
+    the sequential batched path, including the partial final group and
+    word timestamps."""
+    import thewhisper_tpu.pipeline as pl
+
+    audio = _audio(13.1, seed=17)   # 7 windows at 2 s chunk -> 3+3+1
+    kw = {"max_new_tokens": 8, "language": "en"}
+    old = pl.PIPELINE_DEPTH
+    try:
+        pl.PIPELINE_DEPTH = 0       # sequential batched path
+        seq = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0,
+                            batch_size=3)
+        pl.PIPELINE_DEPTH = 2       # batched offset-window path
+        off = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0,
+                            batch_size=3)
+    finally:
+        pl.PIPELINE_DEPTH = old
+    assert seq == off

@@ -184,20 +184,22 @@ class ASRPipeline:
         # (flexible-chunk truncation, ~10% off every window's encode).
         bucket_s = self._pick_bucket(win_s)
 
-        # Offset-window fast path (single-stream long-form): the file is
-        # device_put ONCE — padded by a window of silence and bucketed
-        # to 60 s multiples so different file lengths share compiled
-        # programs — and every window is ONE dispatched program slicing
-        # at a traced offset (engine.transcribe_window_async; each
+        # Offset-window fast path (long-form): the file is device_put
+        # ONCE — padded by a window of silence and bucketed to 60 s
+        # multiples so different file lengths share compiled programs —
+        # and every batch of windows is ONE dispatched program slicing
+        # at traced offsets (engine.transcribe_windows_async; each
         # streamed tunnel command has fixed overhead, and at depth 2 the
-        # command stream is the long-form bottleneck). Greedy bs=1,
-        # forced language, no fallback; output identical to the batched
-        # path (regression-tested).
+        # command stream is the long-form bottleneck — at batch_size=32
+        # the host-side slice+pad+stack ops alone cost ~2 commands per
+        # window and capped RTFx at 387 vs 516+ for the in-program
+        # slice). Greedy, forced language, no fallback; output identical
+        # to the batched path (regression-tested).
         offset_mode = (
-            len(offsets) >= 3 and bsz == 1 and depth > 0
+            len(offsets) >= 3 and depth > 0
             and fallback is None and language is not None
             and num_beams == 1 and not self._reuse_previous
-            and hasattr(self.engine, "transcribe_window_async"))
+            and hasattr(self.engine, "transcribe_windows_async"))
         if offset_mode:
             import jax
 
@@ -210,7 +212,7 @@ class ASRPipeline:
             bucket_samples = self._featurizer_for(bucket_s).n_samples
             seqs, ts_seqs, _, langs = self._decode_windows_offset(
                 dev, offsets, lens, win, bucket_samples, opts, want_words,
-                depth)
+                depth, bsz)
         else:
             if len(offsets) >= 3:
                 # Long-form: ship the WHOLE file to the device ONCE and
@@ -451,28 +453,38 @@ class ASRPipeline:
                 ts_seqs.append(ts)
 
     def _decode_windows_offset(self, dev_audio, offsets, lens, win,
-                               bucket_samples, opts, want_words, depth):
+                               bucket_samples, opts, want_words, depth,
+                               bsz: int = 1):
         """Offset-window long-form dispatch: the file lives on device
-        once, each window is ONE dispatched program (the slice runs
-        inside the executable — engine.transcribe_window_async). Same
-        pipelined fetch overlap as the batched path; greedy bs=1 only."""
+        once, each batch of ``bsz`` windows is ONE dispatched program
+        (the slices run inside the executable —
+        engine.transcribe_windows_async). Same pipelined fetch overlap
+        as the batched path; greedy only."""
         seqs: List[List[int]] = []
         ts_seqs: List[List[Tuple[Optional[float], Optional[float]]]] = []
         lp_seqs: List[List[float]] = []
         langs: List[Optional[str]] = []
-        pending: List[Tuple[Any, int]] = []
+        pending: List[Tuple[Any, int, int]] = []
 
         def drain_one():
-            h, s_ = pending.pop(0)
-            self._consume_result(h.result(), [lens[s_]], s_, offsets, opts,
-                                 want_words, False, None,
+            h, s_, n_ = pending.pop(0)
+            self._consume_result(h.result(), lens[s_: s_ + n_], s_, offsets,
+                                 opts, want_words, False, None,
                                  seqs, ts_seqs, lp_seqs, langs)
 
-        for i, off in enumerate(offsets):
-            handle = self.engine.transcribe_window_async(
-                dev_audio, int(off), win, bucket_samples, opts,
-                use_pallas=self._use_pallas)
-            pending.append((handle, i))
+        for start in range(0, len(offsets), bsz):
+            group = [int(o) for o in offsets[start: start + bsz]]
+            if len(group) == 1:
+                # Keep the dedicated single-window program (the bs=1
+                # protocol path) rather than compiling a vmapped twin.
+                handle = self.engine.transcribe_window_async(
+                    dev_audio, group[0], win, bucket_samples, opts,
+                    use_pallas=self._use_pallas)
+            else:
+                handle = self.engine.transcribe_windows_async(
+                    dev_audio, group, win, bucket_samples, opts,
+                    use_pallas=self._use_pallas)
+            pending.append((handle, start, len(group)))
             if len(pending) > depth:
                 drain_one()
         while pending:

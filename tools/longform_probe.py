@@ -27,7 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=10.0)
-    ap.add_argument("--max-new", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=10,
+                    help="model chunk length s (call windows are chunk-1); "
+                    "30 = the vanilla-whisper offline configuration: 3x "
+                    "fewer windows amortize the per-window dispatch")
+    ap.add_argument("--max-new", type=int, default=None,
+                    help="tokens per window (default: ~3.56 tok/s of window)")
     ap.add_argument("--timestamps", action="store_true")
     ap.add_argument("--depths", default="0,2,3")
     ap.add_argument("--reps", type=int, default=2)
@@ -56,9 +61,13 @@ def main():
 
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
+    mc = args.chunk                      # model chunk (bucket), s
+    wc = mc - 1                          # call window, s (reference examples)
+    if args.max_new is None:
+        args.max_new = round(3.56 * wc)  # ~tokens per window of speech
     arch = dataclasses.replace(
         ARCH_PRESETS["large-v3-turbo"],
-        max_source_positions=500,  # 10 s bucket
+        max_source_positions=50 * mc,
         alignment_heads=((1, 0), (2, 3), (3, 7)),
     )
     print("initializing turbo int8-S params...", flush=True)
@@ -74,9 +83,9 @@ def main():
         cross_kv_int8=True,
         suppress_tokens=[SpecialTokens().eot],   # fixed token count
     )
-    pipe = pl.ASRPipeline(engine, tokenizer=None, chunk_length_s=10,
+    pipe = pl.ASRPipeline(engine, tokenizer=None, chunk_length_s=mc,
                           batch_size=1,
-                          latency_buckets=[9.0] if args.bucket9 else None)
+                          latency_buckets=[float(wc)] if args.bucket9 else None)
 
     total_s = args.minutes * 60.0
     rng = np.random.default_rng(0)
@@ -88,14 +97,15 @@ def main():
     # Initial short-file warmup (params transfer + shared executables;
     # the depth sweep below re-warms per depth at full length because
     # the offset-window program keys on the bucketed file length).
-    print("compiling (30 s warmup file)...", flush=True)
+    warm_s = max(30, mc + 1)
+    print(f"compiling ({warm_s} s warmup file)...", flush=True)
     t0 = time.perf_counter()
-    pipe(audio[: 30 * 16000], chunk_length_s=9, return_timestamps=rt,
+    pipe(audio[: warm_s * 16000], chunk_length_s=wc, return_timestamps=rt,
          generate_kwargs=dict(gk), batch_size=1)
     print(f"warmup+compile: {time.perf_counter() - t0:.1f} s", flush=True)
 
     n_windows = len(pl.ASRPipeline._window_offsets(
-        len(audio), 9 * 16000, 9 * 16000 - 2 * (9 * 16000 // 6)))
+        len(audio), wc * 16000, wc * 16000 - 2 * (wc * 16000 // 6)))
     print(f"{total_s:.0f} s audio -> {n_windows} windows x "
           f"{args.max_new} tok", flush=True)
 
@@ -105,18 +115,18 @@ def main():
         eng_bf = WhisperEngine(
             params, arch, compute_dtype=jnp.bfloat16, batch_buckets=(1,),
             cross_kv_int8=False, suppress_tokens=[SpecialTokens().eot])
-        pipe_bf = pl.ASRPipeline(eng_bf, tokenizer=None, chunk_length_s=10,
+        pipe_bf = pl.ASRPipeline(eng_bf, tokenizer=None, chunk_length_s=mc,
                                  batch_size=1,
-                                 latency_buckets=[9.0] if args.bucket9
+                                 latency_buckets=[float(wc)] if args.bucket9
                                  else None)
         print("compiling bf16-KV window program...", flush=True)
-        pipe_bf(audio[: 30 * 16000], chunk_length_s=9, return_timestamps=rt,
-                generate_kwargs=dict(gk), batch_size=1)
+        pipe_bf(audio[: warm_s * 16000], chunk_length_s=wc,
+                return_timestamps=rt, generate_kwargs=dict(gk), batch_size=1)
         best = {"kv_int8": float("inf"), "kv_bf16": float("inf")}
         for _ in range(args.reps * 2):
             for name, pp in (("kv_int8", pipe), ("kv_bf16", pipe_bf)):
                 t0 = time.perf_counter()
-                pp(audio, chunk_length_s=9, return_timestamps=rt,
+                pp(audio, chunk_length_s=wc, return_timestamps=rt,
                    generate_kwargs=dict(gk), batch_size=1)
                 wall = time.perf_counter() - t0
                 best[name] = min(best[name], wall)
@@ -130,16 +140,16 @@ def main():
     if args.ab_bucket:
         depth = int(args.depths.split(",")[0])
         pl.PIPELINE_DEPTH = depth
-        pipe9 = pl.ASRPipeline(engine, tokenizer=None, chunk_length_s=10,
-                               batch_size=1, latency_buckets=[9.0])
-        print("compiling 9 s-bucket window program...", flush=True)
-        pipe9(audio[: 30 * 16000], chunk_length_s=9, return_timestamps=rt,
+        pipe9 = pl.ASRPipeline(engine, tokenizer=None, chunk_length_s=mc,
+                               batch_size=1, latency_buckets=[float(wc)])
+        print(f"compiling {wc} s-bucket window program...", flush=True)
+        pipe9(audio[: warm_s * 16000], chunk_length_s=wc, return_timestamps=rt,
               generate_kwargs=dict(gk), batch_size=1)
         best = {"b10": float("inf"), "b9": float("inf")}
         for r in range(args.reps * 2):
             for name, pp in (("b10", pipe), ("b9", pipe9)):
                 t0 = time.perf_counter()
-                pp(audio, chunk_length_s=9, return_timestamps=rt,
+                pp(audio, chunk_length_s=wc, return_timestamps=rt,
                    generate_kwargs=dict(gk), batch_size=1)
                 wall = time.perf_counter() - t0
                 best[name] = min(best[name], wall)
@@ -158,12 +168,12 @@ def main():
         # bucketed file length — a short or different-depth warmup
         # compiles a different executable and the first timed rep would
         # absorb the compile.
-        pipe(audio, chunk_length_s=9, return_timestamps=rt,
+        pipe(audio, chunk_length_s=wc, return_timestamps=rt,
              generate_kwargs=dict(gk), batch_size=1)
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            out = pipe(audio, chunk_length_s=9, return_timestamps=rt,
+            out = pipe(audio, chunk_length_s=wc, return_timestamps=rt,
                        generate_kwargs=dict(gk), batch_size=1)
             wall = time.perf_counter() - t0
             best = min(best, wall)
