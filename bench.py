@@ -280,25 +280,31 @@ def main():
     # benchmark/README.md:113-120; L40S turbo-"S" 516.90, RTX 4090
     # 917.57). 100 windows -> three bs=32 calls + one bs=4 remainder;
     # both buckets compile once and ride the pipelined batched dispatch.
-    eng_lf32 = WhisperEngine(
-        params, arch, compute_dtype=compute_dtype, batch_buckets=(4, 32),
-        cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
-    pipe_lf32 = pl.ASRPipeline(eng_lf32, tokenizer=None, chunk_length_s=10,
-                               batch_size=32, latency_buckets=[9.0])
-    log("compiling bs=32 long-form window programs (32 + remainder 4)...")
-    pipe_lf32(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
-              batch_size=32)
-    lf32_walls = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    rtfx_lf32 = None
+    try:
+        eng_lf32 = WhisperEngine(
+            params, arch, compute_dtype=compute_dtype, batch_buckets=(4, 32),
+            cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
+        pipe_lf32 = pl.ASRPipeline(eng_lf32, tokenizer=None,
+                                   chunk_length_s=10, batch_size=32,
+                                   latency_buckets=[9.0])
+        log("compiling bs=32 long-form window programs (32 + remainder 4)...")
         pipe_lf32(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
                   batch_size=32)
-        lf32_walls.append(time.perf_counter() - t0)
-    rtfx_lf32 = 600.0 / min(lf32_walls)
-    log(f"bs=32 long-form (600 s, windowed pipeline): walls "
-        f"{', '.join(f'{w:.2f}' for w in lf32_walls)} s -> RTFx "
-        f"{rtfx_lf32:.1f} (ref L40S 516.90 / RTX 4090 917.57)")
-    del eng_lf32, pipe_lf32, lf_audio
+        lf32_walls = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            pipe_lf32(lf_audio, chunk_length_s=9,
+                      generate_kwargs=dict(lf_kw), batch_size=32)
+            lf32_walls.append(time.perf_counter() - t0)
+        rtfx_lf32 = 600.0 / min(lf32_walls)
+        log(f"bs=32 long-form (600 s, windowed pipeline): walls "
+            f"{', '.join(f'{w:.2f}' for w in lf32_walls)} s -> RTFx "
+            f"{rtfx_lf32:.1f} (ref L40S 516.90 / RTX 4090 917.57)")
+        del eng_lf32, pipe_lf32
+    except Exception as e:   # compile-heavy section: never sink the bench
+        log(f"bs=32 long-form section FAILED (continuing): {e!r}")
+    del lf_audio
 
     # --- large batch throughput (stderr diagnostics) ------------------------
     mel8 = np.repeat(mel, 8, axis=0)
@@ -339,26 +345,31 @@ def main():
     # tools/xl_unroll_probe.py).
     from thewhisper_tpu.models.whisper import init_params_device
 
-    arch_xl = dataclasses.replace(
-        ARCH_PRESETS["large-v3"], max_source_positions=500,
-        alignment_heads=((7, 0), (14, 3), (28, 7)))
-    log("initializing large-v3 on device + int8 S-mode...")
-    params_xl = quantize_params(
-        init_params_device(arch_xl, seed=0, dtype=compute_dtype),
-        components=("decoder",))
-    eng_xl = WhisperEngine(
-        params_xl, arch_xl, compute_dtype=compute_dtype, batch_buckets=(1,),
-        suppress_tokens=[SpecialTokens().eot])
-    log("compiling large-v3 programs (16/144 tok)...")
-    eng_xl.transcribe_features(mel, short_opts)
-    eng_xl.transcribe_features(mel, long_opts)
-    t_s_xl, r_s_xl = timed(short_opts, iters=6, eng=eng_xl)
-    t_l_xl, r_l_xl = timed(long_opts, iters=6, eng=eng_xl)
-    xl_tok_s = (int(r_l_xl.num_generated[0]) - int(r_s_xl.num_generated[0])
-                ) / max(t_l_xl - t_s_xl, 1e-9)
-    log(f"large-v3 bs=1 int8-S: {xl_tok_s:.1f} tok/s "
-        f"({xl_tok_s / 220.0:.2f}x the reference claim on the SAME arch)")
-    del eng_xl, params_xl
+    xl_tok_s = None
+    try:
+        arch_xl = dataclasses.replace(
+            ARCH_PRESETS["large-v3"], max_source_positions=500,
+            alignment_heads=((7, 0), (14, 3), (28, 7)))
+        log("initializing large-v3 on device + int8 S-mode...")
+        params_xl = quantize_params(
+            init_params_device(arch_xl, seed=0, dtype=compute_dtype),
+            components=("decoder",))
+        eng_xl = WhisperEngine(
+            params_xl, arch_xl, compute_dtype=compute_dtype,
+            batch_buckets=(1,), suppress_tokens=[SpecialTokens().eot])
+        log("compiling large-v3 programs (16/144 tok)...")
+        eng_xl.transcribe_features(mel, short_opts)
+        eng_xl.transcribe_features(mel, long_opts)
+        t_s_xl, r_s_xl = timed(short_opts, iters=6, eng=eng_xl)
+        t_l_xl, r_l_xl = timed(long_opts, iters=6, eng=eng_xl)
+        xl_tok_s = (int(r_l_xl.num_generated[0])
+                    - int(r_s_xl.num_generated[0])
+                    ) / max(t_l_xl - t_s_xl, 1e-9)
+        log(f"large-v3 bs=1 int8-S: {xl_tok_s:.1f} tok/s "
+            f"({xl_tok_s / 220.0:.2f}x the reference claim on the SAME arch)")
+        del eng_xl, params_xl
+    except Exception as e:   # compile-heavy section: never sink the bench
+        log(f"large-v3 section FAILED (continuing): {e!r}")
 
     # --- offline bs=32 RTFx (30 s windows, device-resident input) ----------
     del engine
@@ -441,7 +452,8 @@ def main():
         "ttft_bs1_ex_rtt_ms": round(ttft_ex * 1e3, 1),
         "rtfx_bs1_144tok": round(rtfx_bs1, 1),
         "rtfx_bs1_longform": round(rtfx_lf, 1),
-        "rtfx_bs32_longform": round(rtfx_lf32, 1),
+        **({"rtfx_bs32_longform": round(rtfx_lf32, 1)}
+           if rtfx_lf32 is not None else {}),
         "spec_ngram_tok_s": round(spec_tok_s, 1),
         "spec_run_tok_per_round": round(tpr_run, 2),
         "spec_round_cost_x_step": round(xo, 2),
@@ -452,8 +464,9 @@ def main():
         "offline_bs32_rtfx224": round(rtfx224, 1),
         "offline_bs32_rtfx112_splus": round(rtfx112_p, 1),
         "offline_bs32_rtfx224_splus": round(rtfx224_p, 1),
-        "xl_decode_tok_s": round(xl_tok_s, 1),
-        "xl_vs_baseline_same_arch": round(xl_tok_s / 220.0, 3),
+        **({"xl_decode_tok_s": round(xl_tok_s, 1),
+            "xl_vs_baseline_same_arch": round(xl_tok_s / 220.0, 3)}
+           if xl_tok_s is not None else {}),
     }))
 
 

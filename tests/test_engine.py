@@ -246,3 +246,39 @@ def test_device_prompt_cache_keys_languages(tiny):
     eng.transcribe_features(mel, o)
     eng.transcribe_features(mel, o, languages=[LANGUAGES[2]] * 2)
     assert len(eng._prompt_device_cache) == n      # repeats hit the cache
+
+
+def test_transcribe_windows_async_matches_transcribe_audio(tiny):
+    """The batched offset-window program (slices vmapped inside the
+    executable) must equal transcribe_audio on the host-sliced windows —
+    including the sub-bucket zero pad and the batch pad that repeats the
+    last offset (rows dropped at unpack)."""
+    import jax
+
+    _, arch, params = tiny
+    sp = SpecialTokens(
+        eot=1, sot=2, first_language=10, n_languages=5,
+        translate=20, transcribe=21, no_speech=22, no_timestamps=23,
+        timestamp_begin=24,
+    )
+    eng = WhisperEngine(params, arch, special=sp, batch_buckets=(4,))
+    rng = np.random.default_rng(7)
+    sr = 16000
+    full = (0.1 * rng.standard_normal(4 * sr)).astype(np.float32)
+    win, bucket = int(0.8 * sr), sr          # window < featurizer bucket
+    offsets = [0, int(0.6 * sr), int(1.2 * sr)]   # 3 rows -> bucket 4
+    opts = GenerationOptions(max_new_tokens=6, language="en",
+                             return_timestamps=True)
+
+    res_w = eng.transcribe_windows_async(
+        jax.device_put(full), offsets, win, bucket, opts,
+        use_pallas=False).result()
+
+    rows = np.zeros((len(offsets), bucket), np.float32)
+    for i, o in enumerate(offsets):
+        rows[i, :win] = full[o: o + win]
+    res_a = eng.transcribe_audio(rows, opts, use_pallas=False)
+
+    np.testing.assert_array_equal(res_w.tokens, res_a.tokens)
+    np.testing.assert_array_equal(res_w.num_generated, res_a.num_generated)
+    np.testing.assert_allclose(res_w.align, res_a.align, atol=1e-5)
