@@ -1,0 +1,134 @@
+"""Native jnp.int4 decode at bs=1, now measurable via on-device params.
+
+Round 2 dropped int4 for two reasons (tools/int4_pack_probe.py,
+benchmark/README.md): native ``jnp.int4`` hit a plugin RecursionError
+when TRANSFERRED through the axon tunnel, and host-side nibble packing
+with in-graph unpack measured slower than int8. ``init_params_device``
++ the device path in ``quantize_params`` sidestep the transfer entirely
+— int4 buffers are created ON the device and only tokens come back —
+so the native-int4 question (does XLA's packed S4 HBM layout halve the
+weight-bandwidth of the GEMV-bound decode step?) is finally measurable.
+
+Method: decoder-only params on device, int8 vs int4 decoder_step timed
+INTERLEAVED (tunnel drift lesson), differential N-vs-3N step loops with
+the output reduced inside the jitted loop. bs=1 decode reads ~171 MB
+int8 per step; a true packed-int4 path reads ~86 MB -> up to ~2x on the
+bandwidth-bound fraction.
+
+Usage: python tools/int4_native_probe.py [--steps 64] [--reps 4]
+       [--arch large-v3-turbo|large-v3] [--batch 1]
+"""
+
+import argparse
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--arch", default="large-v3-turbo")
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from thewhisper_tpu.config import ARCH_PRESETS
+    from thewhisper_tpu.models.quant import quantize_params, quantized_bytes
+    from thewhisper_tpu.models.whisper import (
+        compute_cross_kv,
+        decoder_prefill,
+        decoder_step,
+        init_params_device,
+        make_cache,
+    )
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    arch = dataclasses.replace(
+        ARCH_PRESETS[args.arch], max_source_positions=500,
+        alignment_heads=((1, 0), (2, 3)))
+    dt = jnp.bfloat16
+    B = args.batch
+    t0 = time.time()
+    base = {"decoder": init_params_device(arch, seed=0, dtype=dt)["decoder"]}
+    p8 = quantize_params(base, components=("decoder",))
+    p4 = quantize_params(base, components=("decoder",), bits=4)
+    jax.tree.map(lambda x: x.block_until_ready(), (p8, p4))
+    log(f"device init+quant in {time.time() - t0:.0f}s; decoder bytes: "
+        f"int8 {quantized_bytes(p8['decoder']) / 2**20:.0f} MiB, "
+        f"int4 {quantized_bytes(p4['decoder']) / 2**20:.0f} MiB")
+
+    # Synthetic encoder states -> cross KV -> prefill -> step loop.
+    rng = jax.random.PRNGKey(0)
+    enc = (0.02 * jax.random.normal(
+        rng, (B, arch.max_source_positions, arch.d_model), jnp.float32)
+    ).astype(dt)
+    s_cap = 8 + args.steps * 3 + 1
+
+    def make_loop(params, n_steps):
+        ck, cv = compute_cross_kv(params, enc, arch)
+        cache = make_cache(arch, B, s_cap, ck, cv, dtype=dt)
+        prompt = jnp.full((B, 4), 50258, jnp.int32)
+
+        def run(params):
+            logits, c, _ = decoder_prefill(params, prompt, cache, arch, dt)
+            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+
+            def body(i, carry):
+                tok, c, acc = carry
+                # decoder_step returns logits (B, V) — already squeezed.
+                lg, c, _ = decoder_step(
+                    params, tok[:, None], 4 + i, c, arch, dt)
+                tok = jnp.argmax(lg, -1).astype(jnp.int32)
+                # Reduce INSIDE the loop: eager postludes / out[0,0]
+                # carries both produced garbage numbers (CLAUDE.md).
+                return tok, c, acc + jnp.sum(tok)
+
+            tok, c, acc = jax.lax.fori_loop(
+                0, n_steps, body, (tok, c, jnp.int32(0)))
+            return acc
+
+        return jax.jit(run)
+
+    N = args.steps
+    variants = {}
+    for name, p in (("int8", p8), ("int4", p4)):
+        try:
+            fn_n, fn_3n = make_loop(p, N), make_loop(p, 3 * N)
+            int(fn_n(p))
+            int(fn_3n(p))
+            variants[name] = (fn_n, fn_3n, p)
+            log(f"  {name}: compiled")
+        except Exception as e:
+            log(f"  {name}: FAILED to compile/run: {e!r}")
+
+    best = {k: float("inf") for k in variants}
+    for r in range(args.reps):
+        for name, (fn_n, fn_3n, p) in variants.items():
+            t0 = time.perf_counter()
+            int(fn_n(p))
+            t1 = time.perf_counter()
+            int(fn_3n(p))
+            t2 = time.perf_counter()
+            ms = (t2 - t1 - (t1 - t0)) / (2 * N) * 1e3
+            best[name] = min(best[name], ms)
+            log(f"  rep{r} {name}: {ms:.3f} ms/step (differential)")
+    for name, ms in best.items():
+        log(f"{name}: BEST {ms:.3f} ms/step -> {1e3 / ms:.0f} tok/s at bs={B}")
+    if len(best) == 2 and all(np.isfinite(v) for v in best.values()):
+        log(f"int4 speedup vs int8: {best['int8'] / best['int4']:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
