@@ -60,21 +60,30 @@ def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and set(leaf) == {"q", "s"}
 
 
-def quantize_embedding(w: np.ndarray) -> Dict[str, Any]:
-    """Per-row int8 for the (V, d) token table: w ~= q * s[:, None].
+def quantize_embedding(w: np.ndarray, bits: int = 8) -> Dict[str, Any]:
+    """Per-row int8/int4 for the (V, d) token table: w ~= q * s[:, None].
 
     Row scales let the tied logits matmul run as (x @ q^T) * s — the scale
     applies AFTER the contraction, so nothing dequantized materializes.
+    The table is read in FULL every decode step by the tied logits matmul
+    (the single biggest per-token HBM read), so ``bits=4`` halves that
+    traffic at ~16x the rounding error of int8 (experimental, probe-only
+    until WER impact is measured on real weights).
     """
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    qmax = 127 if bits == 8 else 7
+    dtype = jnp.int8 if bits == 8 else jnp.int4
     if isinstance(w, jax.Array):
         wf = w.astype(jnp.float32)
-        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-1), 1e-8) / 127.0
-        q = jnp.clip(jnp.round(wf / scale[:, None]), -127, 127)
-        return {"q": q.astype(jnp.int8), "s": scale}
+        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-1), 1e-8) / qmax
+        q = jnp.clip(jnp.round(wf / scale[:, None]), -qmax, qmax)
+        return {"q": q.astype(dtype), "s": scale}
     w = np.asarray(w, dtype=np.float32)
-    scale = np.maximum(np.max(np.abs(w), axis=-1), 1e-8) / 127.0   # (V,)
-    q = np.clip(np.round(w / scale[:, None]), -127, 127).astype(np.int8)
-    return {"q": jnp.asarray(q), "s": jnp.asarray(scale.astype(np.float32))}
+    scale = np.maximum(np.max(np.abs(w), axis=-1), 1e-8) / qmax    # (V,)
+    q = np.clip(np.round(w / scale[:, None]), -qmax, qmax).astype(np.int8)
+    return {"q": jnp.asarray(q, dtype=dtype),
+            "s": jnp.asarray(scale.astype(np.float32))}
 
 
 def quantize_weight_w8a8(w: np.ndarray) -> Dict[str, Any]:

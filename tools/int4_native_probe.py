@@ -64,10 +64,17 @@ def main():
     base = {"decoder": init_params_device(arch, seed=0, dtype=dt)["decoder"]}
     p8 = quantize_params(base, components=("decoder",))
     p4 = quantize_params(base, components=("decoder",), bits=4)
-    jax.tree.map(lambda x: x.block_until_ready(), (p8, p4))
+    # int4 table too: the tied logits matmul reads the FULL (V, d) table
+    # every step — the single biggest per-token HBM read.
+    from thewhisper_tpu.models.quant import quantize_embedding
+    p4e = {"decoder": dict(p4["decoder"])}
+    p4e["decoder"]["token_emb"] = quantize_embedding(
+        base["decoder"]["token_emb"], bits=4)
+    jax.tree.map(lambda x: x.block_until_ready(), (p8, p4, p4e))
     log(f"device init+quant in {time.time() - t0:.0f}s; decoder bytes: "
         f"int8 {quantized_bytes(p8['decoder']) / 2**20:.0f} MiB, "
-        f"int4 {quantized_bytes(p4['decoder']) / 2**20:.0f} MiB")
+        f"int4 {quantized_bytes(p4['decoder']) / 2**20:.0f} MiB, "
+        f"int4+emb4 {quantized_bytes(p4e['decoder']) / 2**20:.0f} MiB")
 
     # Synthetic encoder states -> cross KV -> prefill -> step loop.
     rng = jax.random.PRNGKey(0)
@@ -103,7 +110,7 @@ def main():
 
     N = args.steps
     variants = {}
-    for name, p in (("int8", p8), ("int4", p4)):
+    for name, p in (("int8", p8), ("int4", p4), ("int4+emb4", p4e)):
         try:
             fn_n, fn_3n = make_loop(p, N), make_loop(p, 3 * N)
             int(fn_n(p))
@@ -126,8 +133,10 @@ def main():
             log(f"  rep{r} {name}: {ms:.3f} ms/step (differential)")
     for name, ms in best.items():
         log(f"{name}: BEST {ms:.3f} ms/step -> {1e3 / ms:.0f} tok/s at bs={B}")
-    if len(best) == 2 and all(np.isfinite(v) for v in best.values()):
-        log(f"int4 speedup vs int8: {best['int8'] / best['int4']:.2f}x")
+    if "int8" in best:
+        for k, v in best.items():
+            if k != "int8" and np.isfinite(v):
+                log(f"{k} speedup vs int8: {best['int8'] / v:.2f}x")
 
 
 if __name__ == "__main__":
