@@ -10,6 +10,7 @@ from thewhisper_tpu.config import ARCH_PRESETS, GenerationOptions, SpecialTokens
 from thewhisper_tpu.engine import WhisperEngine
 from thewhisper_tpu.models.quant import (
     dequantize_weight,
+    quantize_embedding,
     quantize_params,
     quantize_weight,
     quantized_bytes,
@@ -445,3 +446,21 @@ def test_device_quantization_bit_parity_and_device_init_schema(tiny):
     assert jax.tree.structure(dev) == jax.tree.structure(ref)
     assert (jax.tree.map(lambda x: (x.shape, str(x.dtype)), dev)
             == jax.tree.map(lambda x: (x.shape, str(x.dtype)), ref))
+
+
+def test_quantize_embedding_int4_roundtrip_and_device_parity():
+    rng = np.random.default_rng(9)
+    w = (0.02 * rng.standard_normal((50, 32))).astype(np.float32)
+    q4 = quantize_embedding(w, bits=4)
+    assert q4["q"].dtype == jnp.int4
+    deq = np.asarray(q4["q"], np.float32) * np.asarray(q4["s"])[:, None]
+    err = np.abs(deq - w)
+    assert (err <= np.asarray(q4["s"])[:, None] * 0.5 + 1e-7).all()
+    # Device path (jax.Array input) matches the host numpy math exactly.
+    import jax
+
+    q4_dev = quantize_embedding(jax.device_put(w), bits=4)
+    np.testing.assert_array_equal(
+        np.asarray(q4["q"], np.int8), np.asarray(q4_dev["q"], np.int8))
+    np.testing.assert_allclose(np.asarray(q4["s"]), np.asarray(q4_dev["s"]),
+                               rtol=1e-6)
