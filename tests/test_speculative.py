@@ -428,3 +428,34 @@ def test_from_checkpoint_layer_skip_draft(tmp_path_factory):
     np.testing.assert_array_equal(a.num_generated, b.num_generated)
     n = a.prompt_len + int(a.num_generated[0])
     np.testing.assert_array_equal(b.tokens[0, :n], a.tokens[0, :n])
+
+
+def test_from_checkpoint_two_model_draft(tmp_path_factory):
+    """A full HF checkpoint directory as the draft (the two-model
+    speculation the XL economics call for: e.g. turbo drafting for
+    large-v3 — same d_model, separate weights). Different random weights
+    make an adversarial draft; output must still equal plain greedy.
+    Ref: /root/reference has no speculative decoding — capability
+    addition, exactness contract per engine/speculative.py."""
+    from make_tiny_checkpoint import make_checkpoint
+
+    from thewhisper_tpu.engine import WhisperEngine
+
+    base = tmp_path_factory.mktemp("ckpt2")
+    target = make_checkpoint(str(base / "target"), seed=3)
+    draft = make_checkpoint(str(base / "draft"), seed=4)
+    plain = WhisperEngine.from_checkpoint(
+        target, chunk_length_s=10, compute_dtype=jnp.float32)
+    spec = WhisperEngine.from_checkpoint(
+        target, chunk_length_s=10, compute_dtype=jnp.float32,
+        draft=draft, spec_window=2)
+    assert spec.draft_arch is not None
+    assert spec.draft_arch.d_model == plain.arch.d_model
+    mel = np.random.default_rng(11).standard_normal(
+        (1, plain.arch.n_mels, 60)).astype(np.float32)
+    opts = GenerationOptions(max_new_tokens=8, language="en")
+    a = plain.transcribe_features(mel, opts)
+    b = spec.transcribe_features(mel, opts)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
+    np.testing.assert_array_equal(a.num_generated, b.num_generated)
+    assert b.spec_rounds is not None and b.spec_rounds >= 1
