@@ -363,3 +363,29 @@ def test_batched_offset_window_path_matches_sequential(tiny_pipeline):
     finally:
         pl.PIPELINE_DEPTH = old
     assert seq == off
+
+
+def test_window_scan_path_matches_sequential(tiny_pipeline):
+    """The multi-window SCAN path (W windows per program, strictly
+    sequential on device — the bs=1 long-form dispatch-amortization
+    lever) must match the sequential batched path, including word
+    timestamps, the short final window, and a partial final scan group."""
+    import thewhisper_tpu.pipeline as pl
+
+    audio = _audio(13.1, seed=19)   # 7 windows at 2 s chunk -> 3+3+1
+    kw = {"max_new_tokens": 8, "language": "en"}
+    old = pl.PIPELINE_DEPTH
+    try:
+        pl.PIPELINE_DEPTH = 0       # sequential batched path
+        seq = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0,
+                            batch_size=1)
+        pl.PIPELINE_DEPTH = 2       # scan path (bs=1, wpp>1)
+        tiny_pipeline.windows_per_program = 3
+        scan = tiny_pipeline(audio, return_timestamps="word",
+                             generate_kwargs=dict(kw), chunk_length_s=2.0,
+                             batch_size=1)
+    finally:
+        pl.PIPELINE_DEPTH = old
+        tiny_pipeline.windows_per_program = 1
+    assert seq == scan

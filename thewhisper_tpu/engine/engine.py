@@ -514,6 +514,87 @@ class WhisperEngine:
             self._jit_cache[key] = fn
         return fn
 
+    def _generate_from_window_scan_fn(self, n_total: int, n_windows: int,
+                                      win_samples: int, bucket_samples: int,
+                                      prompt_len: int, max_new: int,
+                                      timestamps: bool,
+                                      use_pallas: Optional[bool] = None):
+        """Multi-window SCAN program: ``n_windows`` consecutive long-form
+        windows processed strictly sequentially inside one executable
+        (``lax.scan`` over traced offsets; batch stays 1 throughout —
+        same device math as one-window-per-program, so this remains the
+        bs=1 protocol). Rationale: at depth-2 pipelining the bs=1
+        long-form wall carries ~14 ms/window of dispatch + fetch RTT the
+        device never sees; grouping W windows per program divides that
+        by W. Results come back stacked (W, ...) like a batch."""
+        use_pallas, featurize = self._featurize_in_program(use_pallas)
+        key = ("audio_winscan", n_total, n_windows, win_samples,
+               bucket_samples, prompt_len, max_new, timestamps, use_pallas)
+        with self._lock:
+            fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+
+        body = self._program_body(1, prompt_len, max_new, timestamps,
+                                  num_beams=1, temperature=0.0)
+
+        def program(params, audio_full, offs, prompt, seed, draft=None):
+            def one(carry, off):
+                win = jax.lax.dynamic_slice(
+                    audio_full, (off,), (win_samples,))
+                if bucket_samples != win_samples:
+                    win = jnp.pad(win, (0, bucket_samples - win_samples))
+                res = body(params, featurize(win[None]), prompt, seed,
+                           draft)
+                return carry, res
+
+            _, stacked = jax.lax.scan(one, 0, offs)
+            # Every result leaf is (W, 1, ...) — drop the bs=1 axis so
+            # the host unpacks it exactly like a W-row batch.
+            return jax.tree.map(lambda x: x[:, 0], stacked)
+
+        fn = jax.jit(program)
+        with self._lock:
+            self._jit_cache[key] = fn
+        return fn
+
+    def transcribe_window_scan_async(
+        self,
+        full_audio,                        # (N,) device-resident, pre-padded
+        offsets: Sequence[int],
+        n_windows: int,
+        win_samples: int,
+        bucket_samples: int,
+        options: GenerationOptions,
+        languages: Optional[Sequence[str]] = None,
+        use_pallas: Optional[bool] = None,
+    ) -> "PendingResult":
+        """Dispatch up to ``n_windows`` long-form windows as ONE scan
+        program (see :meth:`_generate_from_window_scan_fn`); plain greedy
+        bs=1 only. Short groups pad by repeating the last offset (rows
+        dropped at unpack)."""
+        if options.num_beams != 1 or options.temperature:
+            raise ValueError("transcribe_window_scan_async is greedy-only")
+        if self.spec_ngram or self.draft_arch is not None:
+            # Speculative bodies return per-call scalars (round counts)
+            # that do not stack like batch rows; use the per-window path.
+            raise ValueError(
+                "transcribe_window_scan_async does not support "
+                "speculative engines; dispatch per window instead")
+        b = len(offsets)
+        offs = np.asarray(
+            list(offsets) + [offsets[-1]] * (n_windows - b), np.int32)
+        prompt_arr = self._device_prompt(options, 1, languages)
+        p = prompt_arr.shape[1]
+        fn = self._generate_from_window_scan_fn(
+            full_audio.shape[0], n_windows, win_samples, bucket_samples, p,
+            options.max_new_tokens, options.return_timestamps,
+            use_pallas=use_pallas)
+        t0 = time.perf_counter()
+        result = fn(self.params, full_audio, offs, prompt_arr,
+                    self._device_seed(options.seed), self.draft_params)
+        return PendingResult(self, result, b, p, options, t0)
+
     def transcribe_windows_async(
         self,
         full_audio,                        # (N,) device-resident, pre-padded

@@ -63,6 +63,7 @@ class ASRPipeline:
         draft: Optional[str] = None,        # speculative decoding (engine doc)
         reuse_previous_tokens: bool = False,
         pipeline_depth: Optional[int] = None,
+        windows_per_program: int = 1,
     ):
         import jax.numpy as jnp
 
@@ -103,6 +104,11 @@ class ASRPipeline:
         # Windows dispatched ahead of the fetch on the long-form path
         # (None -> module default PIPELINE_DEPTH; 0 -> sequential).
         self.pipeline_depth = pipeline_depth
+        # bs=1 long-form: group W consecutive windows into ONE scan
+        # program (strictly sequential on device — still the bs=1
+        # protocol; divides the ~14 ms/window dispatch+fetch tunnel cost
+        # by W). 1 = one window per program (classic offset path).
+        self.windows_per_program = max(1, int(windows_per_program))
 
     def _featurizer_for(self, bucket_s: float) -> LogMelFeaturizer:
         feat = self._featurizers.get(bucket_s)
@@ -472,9 +478,23 @@ class ASRPipeline:
                                  opts, want_words, False, None,
                                  seqs, ts_seqs, lp_seqs, langs)
 
-        for start in range(0, len(offsets), bsz):
-            group = [int(o) for o in offsets[start: start + bsz]]
-            if len(group) == 1:
+        wpp = self.windows_per_program
+        scan_ok = (bsz == 1 and wpp > 1
+                   and not (getattr(self.engine, "spec_ngram", False)
+                            or getattr(self.engine, "draft_arch", None)
+                            is not None)
+                   and hasattr(self.engine, "transcribe_window_scan_async"))
+        group_n = wpp if scan_ok else bsz
+        for start in range(0, len(offsets), group_n):
+            group = [int(o) for o in offsets[start: start + group_n]]
+            if scan_ok:
+                # bs=1 with W windows per SCAN program: device math is
+                # unchanged (strictly sequential, batch 1); dispatch and
+                # fetch costs divide by W.
+                handle = self.engine.transcribe_window_scan_async(
+                    dev_audio, group, wpp, win, bucket_samples, opts,
+                    use_pallas=self._use_pallas)
+            elif len(group) == 1:
                 # Keep the dedicated single-window program (the bs=1
                 # protocol path) rather than compiling a vmapped twin.
                 handle = self.engine.transcribe_window_async(

@@ -35,6 +35,10 @@ def main():
                     help="tokens per window (default: ~3.56 tok/s of window)")
     ap.add_argument("--timestamps", action="store_true")
     ap.add_argument("--depths", default="0,2,3")
+    ap.add_argument("--wpp", default=None,
+                    help="comma list of windows_per_program values to "
+                    "interleave at the first depth (bs=1 scan programs: "
+                    "W windows per dispatch, device math unchanged)")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--splus", action="store_true",
                     help="W8A8 encoder (the opt-in S+ engine)")
@@ -108,6 +112,32 @@ def main():
         len(audio), wc * 16000, wc * 16000 - 2 * (wc * 16000 // 6)))
     print(f"{total_s:.0f} s audio -> {n_windows} windows x "
           f"{args.max_new} tok", flush=True)
+
+    if args.wpp:
+        depth = int(args.depths.split(",")[0])
+        pl.PIPELINE_DEPTH = depth
+        wpps = [int(w) for w in args.wpp.split(",")]
+        print(f"compiling scan programs for wpp={wpps} (depth {depth})...",
+              flush=True)
+        for w in wpps:
+            pipe.windows_per_program = w
+            pipe(audio, chunk_length_s=wc, return_timestamps=rt,
+                 generate_kwargs=dict(gk), batch_size=1)
+        best = {w: float("inf") for w in wpps}
+        for r in range(args.reps * 2):
+            for w in wpps:
+                pipe.windows_per_program = w
+                t0 = time.perf_counter()
+                pipe(audio, chunk_length_s=wc, return_timestamps=rt,
+                     generate_kwargs=dict(gk), batch_size=1)
+                wall = time.perf_counter() - t0
+                best[w] = min(best[w], wall)
+                print(f"  wpp={w}: wall={wall:.2f} s "
+                      f"RTFx={total_s / wall:.1f}", flush=True)
+        for w, b in best.items():
+            print(f"wpp={w}: BEST RTFx={total_s / b:.1f} "
+                  f"({b * 1e3 / n_windows:.1f} ms/window)", flush=True)
+        return
 
     if args.ab_kv:
         depth = int(args.depths.split(",")[0])
