@@ -81,6 +81,21 @@ def main():
     from thewhisper_tpu.models.quant import quantize_params
     from thewhisper_tpu.models.whisper import init_params
 
+    # Persistent XLA compile cache: the XL + long-form sections cost
+    # 10-20 min of (remote) compiles cold; a warm cache makes reruns —
+    # and the driver's end-of-round run — resilient to slow-compile
+    # tunnel weather. Opt out with WHISPER_BENCH_NO_CACHE=1.
+    import os
+    if not os.environ.get("WHISPER_BENCH_NO_CACHE"):
+        try:
+            from thewhisper_tpu.utils.profiling import (
+                enable_compilation_cache,
+            )
+
+            log(f"compile cache: {enable_compilation_cache()}")
+        except Exception as e:
+            log(f"compile cache unavailable: {e!r}")
+
     backend = jax.default_backend()
     log(f"backend={backend} devices={jax.devices()}")
 
