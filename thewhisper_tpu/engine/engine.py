@@ -582,6 +582,9 @@ class WhisperEngine:
                 "transcribe_window_scan_async does not support "
                 "speculative engines; dispatch per window instead")
         b = len(offsets)
+        if not 1 <= b <= n_windows:
+            raise ValueError(f"got {b} offsets for a {n_windows}-window "
+                             "scan program")
         offs = np.asarray(
             list(offsets) + [offsets[-1]] * (n_windows - b), np.int32)
         prompt_arr = self._device_prompt(options, 1, languages)
