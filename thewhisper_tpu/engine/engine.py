@@ -187,6 +187,15 @@ class WhisperEngine:
         self._jit_cache: Dict[Tuple, Any] = {}
         self._prompt_device_cache: Dict[Tuple, Any] = {}
         self._seed_device_cache: Dict[int, Any] = {}
+        # Large host inputs (bs=32 mels are ~50 MB, bs=32 audio ~60 MB)
+        # are cached by object identity: the axon tunnel leaks host RSS
+        # on every device_put and its transfer latency collapses as
+        # leaked buffers accumulate (utils/devcache.py docstring), so a
+        # benchmark or server loop re-placing the same buffer must not
+        # re-upload it.
+        from thewhisper_tpu.utils.devcache import DevicePutCache
+
+        self._devput_cache = DevicePutCache()
         self._lock = threading.Lock()
         # Persistent XLA compile cache: generate-program compiles take
         # minutes cold; warm restarts reload them in seconds. Opt out with
@@ -665,7 +674,14 @@ class WhisperEngine:
         """dp-shard a batched input over the mesh (no-op without one).
 
         Replicates when the batch does not divide the dp axis (bs=1 on a
-        dp>1 mesh); GSPMD still TP-shards the compute via the params."""
+        dp>1 mesh); GSPMD still TP-shards the compute via the params.
+        Large host arrays route through the identity-keyed transfer
+        cache (see ``__init__``)."""
+        if isinstance(x, np.ndarray):
+            return self._devput_cache.put(x, self._transfer)
+        return self._transfer(x)
+
+    def _transfer(self, x):
         if self.mesh is None:
             return jnp.asarray(x)
         from jax.sharding import NamedSharding, PartitionSpec

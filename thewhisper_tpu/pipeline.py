@@ -109,6 +109,14 @@ class ASRPipeline:
         # protocol; divides the ~14 ms/window dispatch+fetch tunnel cost
         # by W). 1 = one window per program (classic offset path).
         self.windows_per_program = max(1, int(windows_per_program))
+        # Long-form file uploads are cached by host-array identity: the
+        # axon tunnel leaks host RSS per device_put and its transfer
+        # latency collapses as leaks accumulate (utils/devcache.py), so
+        # re-transcribing the same buffer (bench reps, server retries,
+        # A/B probes) must not re-upload ~40 MB per call.
+        from thewhisper_tpu.utils.devcache import DevicePutCache
+
+        self._dev_file_cache = DevicePutCache(max_entries=2)
 
     def _featurizer_for(self, bucket_s: float) -> LogMelFeaturizer:
         feat = self._featurizers.get(bucket_s)
@@ -155,7 +163,13 @@ class ASRPipeline:
     ) -> Dict[str, Any]:
         if isinstance(audio, str):
             audio = load_audio(audio, sr=SAMPLE_RATE)
-        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim != 1:
+            audio = audio.reshape(-1)
+        # NOTE: when the input is already float32 1-D, np.asarray returns
+        # the caller's object unchanged — an unconditional .reshape(-1)
+        # minted a fresh view each call and defeated the identity-keyed
+        # device-file cache below (every call re-uploaded the file).
 
         gk = dict(generate_kwargs or {})
         _MISSING = object()
@@ -210,10 +224,21 @@ class ASRPipeline:
             import jax
 
             seg = 60 * SAMPLE_RATE
-            total = (len(audio) + win + seg - 1) // seg * seg
-            padded = np.zeros(total, np.float32)
-            padded[: len(audio)] = audio
-            dev = jax.device_put(padded)
+            # Pad by the MODEL window (not the call window) so the padded
+            # length — and therefore the cached device copy — is a pure
+            # function of the file length: a second call with a different
+            # chunk_length_s reuses the same device buffer (call windows
+            # never exceed the model window, and slices never read past
+            # len(audio) + win).
+            win_model = int(self.model_chunk_length_s * SAMPLE_RATE)
+            total = (len(audio) + win_model + seg - 1) // seg * seg
+
+            def _upload(a, _total=total):
+                padded = np.zeros(_total, np.float32)
+                padded[: len(a)] = a
+                return jax.device_put(padded)
+
+            dev = self._dev_file_cache.put(audio, _upload)
             lens = [min(win, len(audio) - o) for o in offsets]
             bucket_samples = self._featurizer_for(bucket_s).n_samples
             seqs, ts_seqs, _, langs = self._decode_windows_offset(
@@ -228,7 +253,7 @@ class ASRPipeline:
                 # ~58 MB through the tunnel, serialized with compute).
                 import jax
 
-                dev = jax.device_put(audio)
+                dev = self._dev_file_cache.put(audio, jax.device_put)
                 windows = [dev[o: o + win] for o in offsets]
             else:
                 windows = [audio[o: o + win] for o in offsets]

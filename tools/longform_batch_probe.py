@@ -55,7 +55,7 @@ def main():
     from thewhisper_tpu.config import ARCH_PRESETS, GenerationOptions, SpecialTokens
     from thewhisper_tpu.engine import WhisperEngine
     from thewhisper_tpu.models.quant import quantize_params
-    from thewhisper_tpu.models.whisper import init_params
+    from thewhisper_tpu.models.whisper import init_params_device
     from thewhisper_tpu.utils.profiling import enable_compilation_cache
 
     if not args.no_cache:
@@ -67,11 +67,12 @@ def main():
         max_source_positions=500,
         alignment_heads=((1, 0), (2, 3), (3, 7)),
     )
-    log("initializing turbo int8-S params...")
+    log("initializing turbo int8-S params on device...")
     t0 = time.time()
     params = quantize_params(
-        init_params(arch, seed=0, dtype=jnp.bfloat16),
+        init_params_device(arch, seed=0, dtype=jnp.bfloat16),
         components=("decoder",))
+    jax.tree.map(lambda x: x.block_until_ready(), params)
     log(f"  {time.time() - t0:.0f}s")
 
     SR = 16000
