@@ -264,9 +264,15 @@ def main():
     # 9 s windows ride an exact-fit 9 s encoder bucket (450 positions,
     # flexible-chunk truncation) instead of padding to the 10 s chunk:
     # ~10% off every window's encode, b9 168->174 RTFx in the interleaved
-    # A/B (tools/longform_probe.py --ab-bucket).
+    # A/B (tools/longform_probe.py --ab-bucket). windows_per_program=4:
+    # four consecutive windows run strictly sequentially inside ONE scan
+    # program (batch stays 1, device math identical — still the bs=1
+    # protocol), dividing the ~25-40 ms/window dispatch+fetch tunnel cost
+    # by 4. Interleaved sweep (--wpp 1,2,4,8): 104/207/373/364 RTFx —
+    # wpp=4 saturates; wpp=8 adds nothing.
     pipe_lf = pl.ASRPipeline(eng_lf, tokenizer=None, chunk_length_s=10,
-                             batch_size=1, latency_buckets=[9.0])
+                             batch_size=1, latency_buckets=[9.0],
+                             windows_per_program=4)
     lf_audio = (0.1 * rng.standard_normal(600 * 16000)).astype(np.float32)
     lf_kw = {"max_new_tokens": 32, "language": "en"}
     log("compiling long-form window program...")

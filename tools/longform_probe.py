@@ -60,7 +60,7 @@ def main():
     from thewhisper_tpu.config import ARCH_PRESETS, SpecialTokens
     from thewhisper_tpu.engine import WhisperEngine
     from thewhisper_tpu.models.quant import quantize_params
-    from thewhisper_tpu.models.whisper import init_params
+    from thewhisper_tpu.models.whisper import init_params_device
     import jax.numpy as jnp
 
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
@@ -74,9 +74,9 @@ def main():
         max_source_positions=50 * mc,
         alignment_heads=((1, 0), (2, 3), (3, 7)),
     )
-    print("initializing turbo int8-S params...", flush=True)
+    print("initializing turbo int8-S params on device...", flush=True)
     params = quantize_params(
-        init_params(arch, seed=0, dtype=jnp.bfloat16),
+        init_params_device(arch, seed=0, dtype=jnp.bfloat16),
         components=("decoder",))
     if args.splus:
         print("quantizing encoder W8A8 (S+)...", flush=True)
