@@ -30,7 +30,11 @@ def quantize_weight(w: np.ndarray, bits: int = 8) -> Dict[str, Any]:
     scale reduces over it only — layer-stacked (L, in, out) weights get one
     scale per (layer, out channel). ``bits=4`` stores ``jnp.int4`` (XLA
     packs two nibbles per byte in HBM) — half the weight bandwidth of int8
-    at ~16x the rounding error; experimental "S4" decode mode.
+    at ~16x the rounding error; experimental "S4" decode mode. Measured
+    (tools/int4_native_probe.py, v5e round 3): only ~8-10% faster than
+    int8 at bs=1 (the step's residual is per-kernel overhead, not weight
+    bandwidth), and S4 arrays cannot cross a jit boundary on the axon
+    plugin — not worth default adoption.
     """
     if bits not in (8, 4):
         raise ValueError(f"bits must be 4 or 8, got {bits}")

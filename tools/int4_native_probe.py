@@ -15,6 +15,17 @@ the output reduced inside the jitted loop. bs=1 decode reads ~171 MB
 int8 per step; a true packed-int4 path reads ~86 MB -> up to ~2x on the
 bandwidth-bound fraction.
 
+MEASURED (v5e, 2026-08-18): passing S4 arrays as jit ARGUMENTS still
+RecursionErrors in the axon plugin even when they were created on
+device (the dispatch-layout path re-enters jit) — so the int4 variants
+quantize IN-PROGRAM from the bf16 base: the S4 tensors are born inside
+the executable, live as loop invariants, and the one-time quantize
+cancels in the N-vs-3N differential. The ``int8-inprog`` control
+validates the methodology (it must match the int8-by-argument number;
+if XLA's while-loop invariant code motion hoisted the dequant out of
+the loop body, inprog variants would read dequantized bf16 instead and
+the control would blow up to bf16 speed).
+
 Usage: python tools/int4_native_probe.py [--steps 64] [--reps 4]
        [--arch large-v3-turbo|large-v3] [--batch 1]
 """
@@ -83,12 +94,17 @@ def main():
     ).astype(dt)
     s_cap = 8 + args.steps * 3 + 1
 
-    def make_loop(params, n_steps):
-        ck, cv = compute_cross_kv(params, enc, arch)
-        cache = make_cache(arch, B, s_cap, ck, cv, dtype=dt)
+    def make_loop(params, n_steps, prequant=None):
         prompt = jnp.full((B, 4), 50258, jnp.int32)
 
         def run(params):
+            # In-program variants: quantize INSIDE the executable (S4
+            # cannot cross the jit boundary on this plugin). One-time
+            # cost; cancels in the N-vs-3N differential.
+            if prequant is not None:
+                params = prequant(params)
+            ck, cv = compute_cross_kv(params, enc, arch)
+            cache = make_cache(arch, B, s_cap, ck, cv, dtype=dt)
             logits, c, _ = decoder_prefill(params, prompt, cache, arch, dt)
             tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
 
@@ -108,11 +124,30 @@ def main():
 
         return jax.jit(run)
 
+    def quant_inprog(bits, emb_bits):
+        def prequant(base):
+            out = quantize_params(base, components=("decoder",), bits=bits,
+                                  quantize_embedding_table=False)
+            dec = dict(out["decoder"])
+            dec["token_emb"] = quantize_embedding(
+                dec["token_emb"], bits=emb_bits)
+            out["decoder"] = dec
+            return out
+        return prequant
+
     N = args.steps
     variants = {}
-    for name, p in (("int8", p8), ("int4", p4), ("int4+emb4", p4e)):
+    for name, p, pre in (
+        ("int8", p8, None),
+        ("int4", p4, None),
+        ("int4+emb4", p4e, None),
+        ("int8-inprog", base, quant_inprog(8, 8)),     # methodology control
+        ("int4-inprog", base, quant_inprog(4, 8)),
+        ("int4+emb4-inprog", base, quant_inprog(4, 4)),
+    ):
         try:
-            fn_n, fn_3n = make_loop(p, N), make_loop(p, 3 * N)
+            fn_n = make_loop(p, N, prequant=pre)
+            fn_3n = make_loop(p, 3 * N, prequant=pre)
             int(fn_n(p))
             int(fn_3n(p))
             variants[name] = (fn_n, fn_3n, p)
