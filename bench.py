@@ -269,31 +269,55 @@ def main():
     # program (batch stays 1, device math identical — still the bs=1
     # protocol), dividing the ~25-40 ms/window dispatch+fetch tunnel cost
     # by 4. Interleaved sweep (--wpp 1,2,4,8): 104/207/373/364 RTFx —
-    # wpp=4 saturates; wpp=8 adds nothing.
+    # wpp=4 saturates; wpp=8 adds nothing; the (depth x wpp) grid is
+    # flat across depths 2-8 (the path is device-bound at ~16 ms/window).
     pipe_lf = pl.ASRPipeline(eng_lf, tokenizer=None, chunk_length_s=10,
                              batch_size=1, latency_buckets=[9.0],
                              windows_per_program=4)
+    # S+ twin: W8A8 encoder. In the old sequential-dispatch regime S+
+    # LOST at bs=1 (98 vs 111 RTFx — the wall was dispatch); with the
+    # wpp=4 scan programs the path is device-bound and the encoder slice
+    # is back on the critical path: interleaved A/B measured S 379 vs
+    # S+ 432 (tools/longform_probe.py --ab-splus). The reference's "S"
+    # engines are int8 END TO END (TensorRT int8), so W8A8 is the closer
+    # analog; both are reported.
+    params_sp = quantize_params(
+        params, components=("encoder",), activation_int8=True)
+    eng_lf_sp = WhisperEngine(
+        params_sp, arch, compute_dtype=compute_dtype, batch_buckets=(1,),
+        cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
+    pipe_lf_sp = pl.ASRPipeline(eng_lf_sp, tokenizer=None, chunk_length_s=10,
+                                batch_size=1, latency_buckets=[9.0],
+                                windows_per_program=4)
     lf_audio = (0.1 * rng.standard_normal(600 * 16000)).astype(np.float32)
     lf_kw = {"max_new_tokens": 32, "language": "en"}
-    log("compiling long-form window program...")
+    log("compiling long-form window programs (S, S+)...")
     # Warm with the FULL file: the offset-window jit key includes the
     # 60 s-bucketed file length, so a short warmup file would compile a
     # DIFFERENT program and the first timed wall would absorb the real
     # compile (review finding).
     pipe_lf(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
             batch_size=1)
-    lf_walls = []
-    for _ in range(5):   # best-of-5: tunnel throughput drifts +-25%
+    pipe_lf_sp(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
+               batch_size=1)
+    lf_walls, lf_sp_walls = [], []
+    for _ in range(5):   # interleaved best-of-5: tunnel drifts +-25%
         t0 = time.perf_counter()
         pipe_lf(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
                 batch_size=1)
         lf_walls.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        pipe_lf_sp(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
+                   batch_size=1)
+        lf_sp_walls.append(time.perf_counter() - t0)
     rtfx_lf = 600.0 / min(lf_walls)
+    rtfx_lf_sp = 600.0 / min(lf_sp_walls)
     log(f"bs=1 long-form (600 s, windowed pipeline, depth="
-        f"{pl.PIPELINE_DEPTH}): walls "
-        f"{', '.join(f'{w:.2f}' for w in lf_walls)} s -> RTFx {rtfx_lf:.1f} "
-        f"(ref L40S 149.08 / H100 161.45)")
-    del eng_lf, pipe_lf
+        f"{pl.PIPELINE_DEPTH}): S walls "
+        f"{', '.join(f'{w:.2f}' for w in lf_walls)} s -> RTFx {rtfx_lf:.1f}; "
+        f"S+ walls {', '.join(f'{w:.2f}' for w in lf_sp_walls)} s -> RTFx "
+        f"{rtfx_lf_sp:.1f} (ref L40S 149.08 / H100 161.45)")
+    del eng_lf, pipe_lf, eng_lf_sp, pipe_lf_sp, params_sp
 
     # --- bs=32 LONG-FORM RTFx: the reference's large-batch protocol ---------
     # Same 10-minute file, window batch 32 (the reference's "Batch Size:
@@ -473,6 +497,7 @@ def main():
         "ttft_bs1_ex_rtt_ms": round(ttft_ex * 1e3, 1),
         "rtfx_bs1_144tok": round(rtfx_bs1, 1),
         "rtfx_bs1_longform": round(rtfx_lf, 1),
+        "rtfx_bs1_longform_splus": round(rtfx_lf_sp, 1),
         **({"rtfx_bs32_longform": round(rtfx_lf32, 1)}
            if rtfx_lf32 is not None else {}),
         "spec_ngram_tok_s": round(spec_tok_s, 1),

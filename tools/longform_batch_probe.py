@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--no-cache", action="store_true",
                     help="skip the persistent XLA compile cache")
+    ap.add_argument("--splus", action="store_true",
+                    help="W8A8 encoder (the S+ engine): interleaves a "
+                    "THIRD config in the A/B")
     args = ap.parse_args()
 
     import jax
@@ -124,11 +127,31 @@ def main():
     run_raw()
     log(f"  raw warm {time.time() - t0:.1f}s (same executables expected)")
 
-    best = {"pipeline": float("inf"), "raw": float("inf")}
+    configs = [("pipeline", lambda: pipe(
+        audio, chunk_length_s=9, generate_kwargs=dict(kw),
+        batch_size=args.batch)), ("raw", run_raw)]
+    if args.splus:
+        log("quantizing encoder W8A8 (S+) + warming its pipeline...")
+        params_sp = quantize_params(
+            params, components=("encoder",), activation_int8=True)
+        eng_sp = WhisperEngine(
+            params_sp, arch, compute_dtype=jnp.bfloat16,
+            batch_buckets=buckets, cross_kv_int8=True,
+            suppress_tokens=[SpecialTokens().eot])
+        pipe_sp = pl.ASRPipeline(eng_sp, tokenizer=None, chunk_length_s=10,
+                                 batch_size=args.batch,
+                                 latency_buckets=[9.0])
+        t0 = time.time()
+        pipe_sp(audio, chunk_length_s=9, generate_kwargs=dict(kw),
+                batch_size=args.batch)
+        log(f"  S+ warm {time.time() - t0:.0f}s")
+        configs.append(("pipeline-S+", lambda: pipe_sp(
+            audio, chunk_length_s=9, generate_kwargs=dict(kw),
+            batch_size=args.batch)))
+
+    best = {name: float("inf") for name, _ in configs}
     for r in range(args.reps):
-        for name, fn in (("pipeline", lambda: pipe(
-                audio, chunk_length_s=9, generate_kwargs=dict(kw),
-                batch_size=args.batch)), ("raw", run_raw)):
+        for name, fn in configs:
             t0 = time.perf_counter()
             fn()
             wall = time.perf_counter() - t0

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--ab-bucket", action="store_true",
                     help="interleave 10 s-bucket vs 9 s-bucket reps in ONE "
                     "process at the first depth (cancels tunnel drift)")
+    ap.add_argument("--ab-splus", action="store_true",
+                    help="interleave S vs S+ (W8A8 encoder) engines at the "
+                    "first depth and first --wpp in ONE process")
     ap.add_argument("--ab-kv", action="store_true",
                     help="interleave int8 vs bf16 cross-KV engines in ONE "
                     "process at the first depth: only ~32 decode steps per "
@@ -113,29 +116,74 @@ def main():
     print(f"{total_s:.0f} s audio -> {n_windows} windows x "
           f"{args.max_new} tok", flush=True)
 
-    if args.wpp:
-        depth = int(args.depths.split(",")[0])
-        pl.PIPELINE_DEPTH = depth
+    if args.wpp and not args.ab_splus:
+        # Full (depth x wpp) grid, interleaved across reps so tunnel
+        # drift hits every combo equally. The scan program is shared
+        # across depths (jit key has no depth), so warmup is per-wpp.
+        depths = [int(d) for d in args.depths.split(",")]
         wpps = [int(w) for w in args.wpp.split(",")]
-        print(f"compiling scan programs for wpp={wpps} (depth {depth})...",
-              flush=True)
+        print(f"compiling scan programs for wpp={wpps} "
+              f"(depths {depths})...", flush=True)
+        pl.PIPELINE_DEPTH = depths[0]
         for w in wpps:
             pipe.windows_per_program = w
             pipe(audio, chunk_length_s=wc, return_timestamps=rt,
                  generate_kwargs=dict(gk), batch_size=1)
-        best = {w: float("inf") for w in wpps}
+        combos = [(d, w) for d in depths for w in wpps]
+        best = {c: float("inf") for c in combos}
         for r in range(args.reps * 2):
-            for w in wpps:
+            for d, w in combos:
+                pl.PIPELINE_DEPTH = d
                 pipe.windows_per_program = w
                 t0 = time.perf_counter()
                 pipe(audio, chunk_length_s=wc, return_timestamps=rt,
                      generate_kwargs=dict(gk), batch_size=1)
                 wall = time.perf_counter() - t0
-                best[w] = min(best[w], wall)
-                print(f"  wpp={w}: wall={wall:.2f} s "
+                best[(d, w)] = min(best[(d, w)], wall)
+                print(f"  depth={d} wpp={w}: wall={wall:.2f} s "
                       f"RTFx={total_s / wall:.1f}", flush=True)
-        for w, b in best.items():
-            print(f"wpp={w}: BEST RTFx={total_s / b:.1f} "
+        for (d, w), b in best.items():
+            print(f"depth={d} wpp={w}: BEST RTFx={total_s / b:.1f} "
+                  f"({b * 1e3 / n_windows:.1f} ms/window)", flush=True)
+        return
+
+    if args.ab_splus:
+        # Interleaved S vs S+ (W8A8 encoder) at the first depth and the
+        # first --wpp (default 4). Historical note: S+ LOST at bs=1 in
+        # the sequential-dispatch regime (98 vs 111 RTFx) because the
+        # wall was dispatch, not device; with the wpp scan programs the
+        # path is device-bound and the encoder slice is back on the
+        # critical path.
+        depth = int(args.depths.split(",")[0])
+        wpp = int(args.wpp.split(",")[0]) if args.wpp else 4
+        pl.PIPELINE_DEPTH = depth
+        pipe.windows_per_program = wpp
+        params_sp = quantize_params(
+            params, components=("encoder",), activation_int8=True)
+        eng_sp = WhisperEngine(
+            params_sp, arch, compute_dtype=jnp.bfloat16, batch_buckets=(1,),
+            cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
+        pipe_sp = pl.ASRPipeline(
+            eng_sp, tokenizer=None, chunk_length_s=mc, batch_size=1,
+            latency_buckets=[float(wc)] if args.bucket9 else None,
+            windows_per_program=wpp)
+        print(f"compiling S and S+ scan programs (depth {depth}, "
+              f"wpp {wpp})...", flush=True)
+        for pp in (pipe, pipe_sp):
+            pp(audio, chunk_length_s=wc, return_timestamps=rt,
+               generate_kwargs=dict(gk), batch_size=1)
+        best = {"S": float("inf"), "S+": float("inf")}
+        for _ in range(args.reps * 2):
+            for name, pp in (("S", pipe), ("S+", pipe_sp)):
+                t0 = time.perf_counter()
+                pp(audio, chunk_length_s=wc, return_timestamps=rt,
+                   generate_kwargs=dict(gk), batch_size=1)
+                wall = time.perf_counter() - t0
+                best[name] = min(best[name], wall)
+                print(f"  {name}: wall={wall:.2f} s "
+                      f"RTFx={total_s / wall:.1f}", flush=True)
+        for name, b in best.items():
+            print(f"{name}: BEST RTFx={total_s / b:.1f} "
                   f"({b * 1e3 / n_windows:.1f} ms/window)", flush=True)
         return
 
