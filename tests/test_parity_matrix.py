@@ -222,3 +222,25 @@ def test_longform_lcs_transcript_parity(ckpt):
     out = ours(audio, chunk_length_s=9, generate_kwargs={
         "max_new_tokens": MAX_NEW, "language": "en"})
     assert out["text"] == ref["text"]
+
+    # return_timestamps=True cell (the HF segment surface the reference's
+    # NVIDIA path inherits): segment chunks are derived from the word
+    # alignment, so the generated tokens — and hence the transcript —
+    # must STILL match the HF reference exactly, now with monotone
+    # (start, end) segment spans attached. (HF itself re-decodes with
+    # timestamp tokens in this mode, a documented divergence: our text is
+    # pinned to the no-timestamps decode on every path.)
+    seg = ours(audio, chunk_length_s=9, return_timestamps=True,
+               generate_kwargs={"max_new_tokens": MAX_NEW,
+                                "language": "en"})
+    assert seg["text"] == ref["text"]
+    assert seg["chunks"], "segment mode returned no chunks"
+    assert "".join(c["text"] for c in seg["chunks"]) == seg["text"]
+    dur = len(audio) / 16000.0
+    prev = 0.0
+    for ch in seg["chunks"]:
+        s, e = ch["timestamp"]
+        assert s is not None and 0.0 <= s <= dur + 1.0
+        if e is not None:
+            assert s <= e <= dur + 1.0
+            prev = max(prev, e)

@@ -70,6 +70,90 @@ def test_long_audio_multi_window(tiny_pipeline):
     assert all(s is not None for s in starts)
 
 
+def test_segment_timestamps_mode(tiny_pipeline):
+    """``return_timestamps=True`` (the HF segment mode the reference's
+    NVIDIA path inherits, nvidia/asr_pipeline.py:30-89) returns segment
+    chunks derived from the word alignment — same text, same tokens,
+    coarser chunks."""
+    class WideTokenizer:
+        # Decode every non-special id (MapTokenizer stops at 90 and the
+        # random model rarely emits ids below it): every third word gets
+        # sentence-final punctuation so the grouping rule has material.
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(
+                f" w{i}." if int(i) % 3 == 0 else f" w{i}"
+                for i in ids if int(i) < 101)
+
+    # Fresh engine with every id >= eot suppressed: the raw random model
+    # greedily emits ids the pipeline filters as specials (t < eot) —
+    # leaving no words to group.
+    base = tiny_pipeline.engine
+    eng = WhisperEngine(base.params, base.arch, special=base.special,
+                        batch_buckets=(1, 2, 4),
+                        suppress_tokens=list(range(101, 200)))
+    pipe = ASRPipeline(eng, tokenizer=WideTokenizer(), chunk_length_s=3)
+    a = _audio(2.0)
+    kw = {"max_new_tokens": 8, "language": "en"}
+    plain = pipe(a, return_timestamps=False, generate_kwargs=dict(kw))
+    words = pipe(a, return_timestamps="word", generate_kwargs=dict(kw))
+    segs = pipe(a, return_timestamps=True, generate_kwargs=dict(kw))
+    segs2 = pipe(a, return_timestamps="segment", generate_kwargs=dict(kw))
+    assert segs == segs2
+    # Segment mode must not perturb the transcript.
+    assert segs["text"] == words["text"] == plain["text"]
+    # Segments cover exactly the word text, in order, with sane spans.
+    assert ("".join(c["text"] for c in segs["chunks"])
+            == "".join(c["text"] for c in words["chunks"]))
+    assert 1 <= len(segs["chunks"]) <= len(words["chunks"])
+    for ch in segs["chunks"]:
+        s, e = ch["timestamp"]
+        assert s is not None and s >= 0.0
+        if e is not None:
+            assert e >= s
+    # Long-form path too (multi-window LCS merge).
+    out = pipe(
+        _audio(7.0, seed=6), return_timestamps=True,
+        generate_kwargs=dict(kw), chunk_length_s=2.0)
+    assert "chunks" in out and out["chunks"]
+
+    with pytest.raises(ValueError):
+        pipe(a, return_timestamps="char", generate_kwargs=dict(kw))
+
+
+def test_group_words_into_segments_rules():
+    """Pure grouping rules: sentence-final punctuation closes a segment,
+    a > 1 s pause opens a new one, confidences average."""
+    from thewhisper_tpu.pipeline import _group_words_into_segments
+
+    words = [
+        {"text": " Hello", "timestamp": (0.0, 0.4), "confidence": 0.9},
+        {"text": " world.", "timestamp": (0.5, 0.8), "confidence": 0.7},
+        {"text": " Then", "timestamp": (1.0, 1.3)},
+        {"text": " silence", "timestamp": (1.4, 1.6)},
+        # 2.1 s pause -> new segment even without punctuation.
+        {"text": " after", "timestamp": (3.7, 4.0)},
+        {"text": " it", "timestamp": (4.1, None)},   # open end tolerated
+    ]
+    segs = _group_words_into_segments(words)
+    assert [s["text"] for s in segs] == [
+        " Hello world.", " Then silence", " after it"]
+    assert segs[0]["timestamp"] == (0.0, 0.8)
+    assert segs[0]["confidence"] == pytest.approx(0.8)
+    assert segs[1]["timestamp"] == (1.0, 1.6)
+    assert "confidence" not in segs[1]
+    assert segs[2]["timestamp"] == (3.7, None)
+
+
+def test_transcribe_batch_segment_mode(tiny_pipeline):
+    out = tiny_pipeline.transcribe_batch(
+        [_audio(1.5, seed=7), _audio(2.0, seed=8)],
+        return_timestamps=True,
+        generate_kwargs={"max_new_tokens": 6, "language": "en"})
+    for o in out:
+        assert "chunks" in o
+        assert "".join(c["text"] for c in o["chunks"]) == o["text"]
+
+
 def test_no_timestamps_mode(tiny_pipeline):
     out = tiny_pipeline(
         _audio(2.0, seed=2), return_timestamps=False,

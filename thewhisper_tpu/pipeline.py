@@ -182,7 +182,14 @@ class ASRPipeline:
         task = gk.pop("task", "transcribe")
         num_beams = int(gk.pop("num_beams", 1))
         fallback = _fallback_ladder(gk.pop("fallback_temperatures", None))
-        want_words = return_timestamps == "word"
+        # HF pipeline surface (reference nvidia/asr_pipeline.py:30-89
+        # inherits it): "word" -> word chunks, True/"segment" -> segment
+        # chunks. Segments are derived from the same DTW word alignment
+        # (grouped at sentence punctuation / pauses), so the generated
+        # TOKENS are identical across all three modes — unlike HF, which
+        # re-decodes with timestamp tokens for segment mode.
+        ts_mode = _timestamp_mode(return_timestamps)
+        want_words = ts_mode is not None
 
         win_s = float(chunk_length_s or self.model_chunk_length_s)
         win_s = min(win_s, self.model_chunk_length_s)
@@ -280,7 +287,7 @@ class ASRPipeline:
         if out_language is None and langs:
             out_language = max(set(langs), key=langs.count)
         return self._format_output(tokens, token_ts_list, out_language,
-                                   want_words)
+                                   ts_mode)
 
     def transcribe_batch(
         self,
@@ -311,7 +318,8 @@ class ASRPipeline:
         task = gk.pop("task", "transcribe")
         num_beams = int(gk.pop("num_beams", 1))
         fallback = _fallback_ladder(gk.pop("fallback_temperatures", None))
-        want_words = return_timestamps == "word"
+        ts_mode = _timestamp_mode(return_timestamps)
+        want_words = ts_mode is not None
         win = int(self.model_chunk_length_s * SAMPLE_RATE)
         windows = [np.asarray(a, np.float32).reshape(-1)[:win] for a in audios]
         bucket_s = self._pick_bucket(
@@ -349,7 +357,7 @@ class ASRPipeline:
                 seqs[i], ts_seqs[i] if want_words else None,
                 (row_languages[i] if row_languages
                  else language if language is not None else langs[i]),
-                want_words, token_logprobs=lp_seqs[i])
+                ts_mode, token_logprobs=lp_seqs[i])
             for i in range(len(windows))
         ]
 
@@ -607,10 +615,10 @@ class ASRPipeline:
             return False
         return len(text) / len(zlib.compress(text)) > 2.4
 
-    def _format_output(self, tokens, token_ts_list, language, want_words,
+    def _format_output(self, tokens, token_ts_list, language, ts_mode,
                        token_logprobs: Optional[List[float]] = None):
         out: Dict[str, Any] = {"text": self._decode(tokens)}
-        if want_words:
+        if ts_mode is not None:
             # text.NO_SPACE_LANGUAGES accepts raw codes ("zh", "ja", ...)
             # directly — no code->name mapping to keep in sync.
             words, _, indices = combine_tokens_into_words(
@@ -628,8 +636,77 @@ class ASRPipeline:
                     if lps:
                         chunk["confidence"] = float(np.exp(np.mean(lps)))
                 chunks.append(chunk)
+            if ts_mode == "segment":
+                chunks = _group_words_into_segments(chunks)
             out["chunks"] = chunks
         return out
+
+
+# Segment boundaries: break after sentence-final punctuation, or at an
+# inter-word silence longer than this (the reference's streaming
+# truncation policy uses the same punctuation-then-pause preference,
+# streaming_pipeline.py:885-937).
+_SEGMENT_PAUSE_S = 1.0
+_SENTENCE_FINAL = (".", "!", "?", "。", "！", "？", "؟")
+
+
+def _timestamp_mode(return_timestamps) -> Optional[str]:
+    """Normalize the HF ``return_timestamps`` surface.
+
+    ``"word"`` -> word chunks; ``True`` / ``"segment"`` -> segment chunks
+    (the default HF pipeline mode the reference's NVIDIA path inherits,
+    ``nvidia/asr_pipeline.py:30-89``); falsy -> text only.
+    """
+    if return_timestamps == "word":
+        return "word"
+    if return_timestamps is True or return_timestamps == "segment":
+        return "segment"
+    if return_timestamps:
+        raise ValueError(
+            f"return_timestamps={return_timestamps!r}: expected False, "
+            "True, 'word' or 'segment'")
+    return None
+
+
+def _group_words_into_segments(words: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Group word chunks into HF-style segment chunks.
+
+    A segment closes after a word ending in sentence-final punctuation or
+    before a > ``_SEGMENT_PAUSE_S`` inter-word silence; its timestamp spans
+    (first word start, last word end). Confidence (when present) is the
+    mean of the member words' confidences.
+    """
+    segments: List[Dict[str, Any]] = []
+    cur: List[Dict[str, Any]] = []
+
+    def flush():
+        if not cur:
+            return
+        start = cur[0]["timestamp"][0]
+        end = cur[-1]["timestamp"][1]
+        seg: Dict[str, Any] = {
+            "text": "".join(w["text"] for w in cur),
+            "timestamp": (start, end),
+        }
+        confs = [w["confidence"] for w in cur if "confidence" in w]
+        if confs:
+            seg["confidence"] = float(np.mean(confs))
+        segments.append(seg)
+        cur.clear()
+
+    prev_end: Optional[float] = None
+    for w in words:
+        start_t = w["timestamp"][0]
+        if (cur and prev_end is not None and start_t is not None
+                and start_t - prev_end > _SEGMENT_PAUSE_S):
+            flush()
+        cur.append(w)
+        if w["timestamp"][1] is not None:
+            prev_end = w["timestamp"][1]
+        if w["text"].rstrip().endswith(_SENTENCE_FINAL):
+            flush()
+    flush()
+    return segments
 
 
 def _fallback_ladder(value) -> Optional[Tuple[float, ...]]:

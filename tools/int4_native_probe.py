@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--arch", default="large-v3-turbo")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--try-args", action="store_true",
+                    help="also attempt the int4/int4+emb4 BY-ARGUMENT "
+                    "variants (known to RecursionError in the axon "
+                    "plugin — two wasted compile attempts per run; "
+                    "int8-by-argument stays the default boundary-"
+                    "crossing baseline)")
     args = ap.parse_args()
 
     import jax
@@ -137,10 +143,14 @@ def main():
 
     N = args.steps
     variants = {}
+    # The by-argument int4 variants RecursionError in the axon plugin
+    # (see docstring) — skipped unless --try-args; int8-by-argument
+    # remains the boundary-crossing baseline.
+    by_arg = ([("int4", p4, None), ("int4+emb4", p4e, None)]
+              if args.try_args else [])
     for name, p, pre in (
         ("int8", p8, None),
-        ("int4", p4, None),
-        ("int4+emb4", p4e, None),
+        *by_arg,
         ("int8-inprog", base, quant_inprog(8, 8)),     # methodology control
         ("int4-inprog", base, quant_inprog(4, 8)),
         ("int4+emb4-inprog", base, quant_inprog(4, 4)),

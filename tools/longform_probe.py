@@ -116,11 +116,26 @@ def main():
     print(f"{total_s:.0f} s audio -> {n_windows} windows x "
           f"{args.max_new} tok", flush=True)
 
+    if args.splus and args.ab_splus:
+        # --splus already quantized `params` W8A8 above and
+        # quantize_params skips is_quantized_w8a8 leaves, so the "S" arm
+        # of the A/B would silently be S+ too (advisor finding r3).
+        ap.error("--splus and --ab-splus are mutually exclusive: "
+                 "--ab-splus builds its own S+ twin from the S params")
+
     if args.wpp and not args.ab_splus:
         # Full (depth x wpp) grid, interleaved across reps so tunnel
         # drift hits every combo equally. The scan program is shared
         # across depths (jit key has no depth), so warmup is per-wpp.
-        depths = [int(d) for d in args.depths.split(",")]
+        # depth=0 is excluded: offset_mode (pipeline.py) requires
+        # depth>0, so depth-0 combos would silently run the batched path
+        # where windows_per_program has no effect — and a depths[0]==0
+        # warmup would never compile the scan programs, letting depth>0
+        # combos absorb compiles inside timed reps (advisor finding r3).
+        depths = [int(d) for d in args.depths.split(",") if int(d) > 0]
+        if not depths:
+            ap.error("--wpp grid needs at least one depth > 0 "
+                     "(depth 0 takes the batched path; wpp n/a there)")
         wpps = [int(w) for w in args.wpp.split(",")]
         print(f"compiling scan programs for wpp={wpps} "
               f"(depths {depths})...", flush=True)
@@ -154,7 +169,9 @@ def main():
         # wall was dispatch, not device; with the wpp scan programs the
         # path is device-bound and the encoder slice is back on the
         # critical path.
-        depth = int(args.depths.split(",")[0])
+        # Scan programs need depth>0 (depth 0 = batched path, wpp n/a).
+        depth = next((int(d) for d in args.depths.split(",")
+                      if int(d) > 0), 2)
         wpp = int(args.wpp.split(",")[0]) if args.wpp else 4
         pl.PIPELINE_DEPTH = depth
         pipe.windows_per_program = wpp
