@@ -473,3 +473,29 @@ def test_window_scan_path_matches_sequential(tiny_pipeline):
         pl.PIPELINE_DEPTH = old
         tiny_pipeline.windows_per_program = 1
     assert seq == scan
+
+
+def test_batch_scan_path_matches_sequential(tiny_pipeline):
+    """The batched multi-window SCAN path (G full batches per program —
+    the bs=32 long-form dispatch-amortization lever) must match the
+    sequential batched path, including the short remainder group and
+    word timestamps."""
+    import thewhisper_tpu.pipeline as pl
+
+    audio = _audio(14.9, seed=23)   # 8 windows at 2 s chunk -> 2x(2x3)+2
+    kw = {"max_new_tokens": 8, "language": "en"}
+    old = pl.PIPELINE_DEPTH
+    try:
+        pl.PIPELINE_DEPTH = 0       # sequential batched path
+        seq = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0,
+                            batch_size=3)
+        pl.PIPELINE_DEPTH = 2       # batch-scan path (bs>1, wpp>1)
+        tiny_pipeline.windows_per_program = 2
+        scan = tiny_pipeline(audio, return_timestamps="word",
+                             generate_kwargs=dict(kw), chunk_length_s=2.0,
+                             batch_size=3)
+    finally:
+        pl.PIPELINE_DEPTH = old
+        tiny_pipeline.windows_per_program = 1
+    assert seq == scan

@@ -124,3 +124,45 @@ def test_corpus_shapes():
     assert set(np.unique(mask)).issubset({0.0, 1.0})
     neg = synth_negative(np.random.default_rng(1), 1.0)
     assert len(neg) == 16000
+
+
+def test_neural_vad_out_of_family_transfer():
+    """Transfer test on the OUT-OF-FAMILY corpus (vad_holdout.py):
+    Rosenberg-pulse / whispered speech over Karplus-Strong music, rain,
+    applause, machinery, wind, traffic — generator recipes the trainer
+    never saw. No real audio exists in this image; this is the strongest
+    available stand-in (round-3 review #7).
+
+    Measured (tools/vad_holdout_probe.py, 60 clips): the round-3 weights
+    scored precision 0.64 / recall 0.86 at the 0.1 gate; retraining on
+    the broadened 50/50 corpus (synth_*_aug) lifted them to ~0.76/0.90.
+    The EnergyVAD fallback sits at 0.39/0.99 (fires on nearly all noise).
+    Thresholds below leave seed margin under the measured points.
+    """
+    from thewhisper_tpu.streaming.vad_holdout import holdout_corpus
+
+    def score(vad, threshold, clips=30, seed=20260818):
+        tp = fp = fn = 0
+        for audio, labels, mask in holdout_corpus(seed, clips):
+            vad.reset_states()
+            for w in range(len(labels)):
+                prob = vad(audio[w * WINDOW: (w + 1) * WINDOW], 16000)
+                if mask[w] == 0:
+                    continue
+                pred = prob > threshold
+                if labels[w]:
+                    tp += pred
+                    fn += not pred
+                else:
+                    fp += pred
+        return tp / max(tp + fp, 1), tp / max(tp + fn, 1)
+
+    prec, rec = score(NeuralVAD(), 0.1)
+    print(f"NeuralVAD holdout @0.1: precision {prec:.3f} recall {rec:.3f}")
+    assert rec >= 0.80, (prec, rec)
+    assert prec >= 0.65, (prec, rec)
+    prec_e, rec_e = score(EnergyVAD(), 0.1)
+    print(f"EnergyVAD holdout @0.1: precision {prec_e:.3f} recall {rec_e:.3f}")
+    # The trained model must beat the heuristic's precision decisively
+    # at the production gate (the heuristic passes nearly all noise).
+    assert prec >= prec_e + 0.2, (prec, prec_e)

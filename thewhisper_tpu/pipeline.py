@@ -512,11 +512,42 @@ class ASRPipeline:
                                  seqs, ts_seqs, lp_seqs, langs)
 
         wpp = self.windows_per_program
-        scan_ok = (bsz == 1 and wpp > 1
-                   and not (getattr(self.engine, "spec_ngram", False)
-                            or getattr(self.engine, "draft_arch", None)
-                            is not None)
+        spec_engine = (getattr(self.engine, "spec_ngram", False)
+                       or getattr(self.engine, "draft_arch", None)
+                       is not None)
+        scan_ok = (bsz == 1 and wpp > 1 and not spec_engine
                    and hasattr(self.engine, "transcribe_window_scan_async"))
+        # Large-batch analog: G full bs-sized groups per SCAN program
+        # (removes the dispatch/fetch/host gaps between consecutive
+        # batched programs — the round-3 bs=32 long-form frontier).
+        batch_scan_ok = (bsz > 1 and wpp > 1 and not spec_engine
+                         and hasattr(self.engine,
+                                     "transcribe_batch_scan_async"))
+        if batch_scan_ok:
+            n_full = (len(offsets) // bsz) * bsz
+            start = 0
+            while start < len(offsets):
+                g = (n_full - start) // bsz if start < n_full else 0
+                g = min(wpp, g)
+                if g >= 2:
+                    group = [int(o) for o in offsets[start: start + g * bsz]]
+                    handle = self.engine.transcribe_batch_scan_async(
+                        dev_audio, group, g, bsz, win, bucket_samples,
+                        opts, use_pallas=self._use_pallas)
+                else:
+                    # Single (or remainder, possibly short) group: the
+                    # plain batched program — no scan twin to compile.
+                    group = [int(o) for o in offsets[start: start + bsz]]
+                    handle = self.engine.transcribe_windows_async(
+                        dev_audio, group, win, bucket_samples, opts,
+                        use_pallas=self._use_pallas)
+                pending.append((handle, start, len(group)))
+                if len(pending) > depth:
+                    drain_one()
+                start += len(group)
+            while pending:
+                drain_one()
+            return seqs, ts_seqs, lp_seqs, langs
         group_n = wpp if scan_ok else bsz
         for start in range(0, len(offsets), group_n):
             group = [int(o) for o in offsets[start: start + group_n]]
