@@ -42,10 +42,24 @@ for real ones; throughput is weight-value-independent). Reports:
   with device-resident input, decode differential -> ms/step, RTFx at 112
   and 224 steps (round-1 methodology; reference L40S "S" bs=32: 516.90).
   Measured with int8 cross-KV (default for this shape) and bf16 cross-KV.
-- **large-v3 bs=1 decode** (stderr + JSON): the model the reference's
-  220 tok/s headline is actually about (turbo numbers above compare
-  across architectures). Params generated on device; rolled layer scan
-  per the full-unroll-or-roll policy (tools/xl_unroll_probe.py).
+- **XL rows** (round 4): the reference's published tables define S as
+  "the quantized version of the model" and XL as "the fp16 model
+  accelerated using qlip.compiler" — BOTH are large-v3-TURBO
+  (/root/reference/benchmark/README.md:91-93). The ``xl_*`` keys are
+  therefore the bf16 (unquantized) turbo engine: bs=1 decode + TTFT,
+  bs=1 long-form RTFx, offline bs=32.
+- **bs=64** (round 4): the reference's largest published point is H100
+  turbo bs=64 RTFx 2016.18; ``offline_bs64_*`` + ``rtfx_bs64_longform``
+  record v5e's number and whether 32 or 64 is this chip's optimum.
+- **large-v3 (lv3_*)**: the model the reference's 220 tok/s headline is
+  actually about (it publishes no other large-v3 number). Params
+  generated on device; rolled layer scan per the full-unroll-or-roll
+  policy (tools/xl_unroll_probe.py). Round 4 adds TTFT, the windowed
+  long-form RTFx, and END-TO-END layer-skip speculation with
+  device-counted acceptance (tools/lv3_spec_e2e_probe.py distills the
+  draft and sweeps acceptance).
+- **MFU** (round 4): encoder bs=32 pass and bs=32 decode step normalized
+  to the v5e's 197 TFLOP/s / 819 GB/s peaks (utils/flops.py).
 
 Prints ONE JSON line to stdout:
   {"metric": "decode_tok_s", "value": ..., "unit": "tok/s", "vs_baseline": ...}
@@ -198,11 +212,50 @@ def main():
         ttfts.append(time.perf_counter() - t0)
     ttft = statistics.median(ttfts)
     ttft_ex = max(ttft - rtt, 0.0)
-    # bs=1 RTFx at the 144-token point (conservative: ~3x the typical
-    # token count for 10 s of speech). Reference turbo-"S" bs=1: 149-208.
+    # bs=1 RTFx of a FORCED 144-token decode of one 10 s window — a
+    # micro-protocol nothing in the reference's tables matches (their
+    # RTFx rows are the 10-minute windowed pipeline, reported below as
+    # rtfx_bs1_longform). Kept for round-over-round continuity under an
+    # honest key (round-3 review: the old name rtfx_bs1_144tok invited a
+    # false comparison against the L40S 149 long-form row).
     rtfx_bs1 = 10.0 / max(t_long, 1e-9)
     log(f"bs=1: TTFT {ttft*1e3:.1f} ms total = {rtt*1e3:.1f} tunnel RTT "
-        f"+ {ttft_ex*1e3:.1f} compute; RTFx@144tok {rtfx_bs1:.1f}")
+        f"+ {ttft_ex*1e3:.1f} compute; forced-144tok 10s micro-RTFx "
+        f"{rtfx_bs1:.1f}")
+
+    # --- "XL" = the reference's fp16 engine analog: bf16 turbo ------------
+    # benchmark/README.md:91-93 defines the published tables' rows: S is
+    # the int8-quantized turbo, XL the fp16 turbo compiled by qlip — both
+    # large-v3-turbo. Our XL analog is the bf16 engine (unquantized
+    # weights, bf16 cross-KV). Reference XL bs=1: TTFT 11.5/9.3 ms,
+    # RTFx 152.07/164.61 (L40S/H100).
+    xl_ttft = xl_ttft_ex = xl_tok_s_turbo = None
+    try:
+        eng_xl10 = WhisperEngine(
+            params_bf, arch, compute_dtype=compute_dtype,
+            batch_buckets=(1,), suppress_tokens=[SpecialTokens().eot])
+        log("compiling XL (bf16 turbo) 10 s programs (1/16/144 tok)...")
+        eng_xl10.transcribe_features(mel_dev, one_opts)
+        eng_xl10.transcribe_features(mel, short_opts)
+        eng_xl10.transcribe_features(mel, long_opts)
+        xts = []
+        for _ in range(12):
+            t0 = time.perf_counter()
+            eng_xl10.transcribe_features(mel_dev, one_opts)
+            xts.append(time.perf_counter() - t0)
+        xl_ttft = statistics.median(xts)
+        xl_ttft_ex = max(xl_ttft - rtt, 0.0)
+        t_s_x, r_s_x = timed(short_opts, iters=6, eng=eng_xl10)
+        t_l_x, r_l_x = timed(long_opts, iters=6, eng=eng_xl10)
+        xl_tok_s_turbo = (int(r_l_x.num_generated[0])
+                          - int(r_s_x.num_generated[0])
+                          ) / max(t_l_x - t_s_x, 1e-9)
+        log(f"XL (bf16 turbo) bs=1: {xl_tok_s_turbo:.1f} tok/s decode; "
+            f"TTFT {xl_ttft*1e3:.1f} ms total = {rtt*1e3:.1f} RTT + "
+            f"{xl_ttft_ex*1e3:.1f} compute (ref XL L40S 11.5 / H100 9.3)")
+        del eng_xl10
+    except Exception as e:
+        log(f"XL bs=1 section FAILED (continuing): {e!r}")
 
     # --- speculative (ngram) bs=1 diagnostics -------------------------------
     # Free prompt-lookup drafting (two-tier frontier-aware rule) + W-token
@@ -280,50 +333,71 @@ def main():
     pipe_lf = pl.ASRPipeline(eng_lf, tokenizer=None, chunk_length_s=10,
                              batch_size=1, latency_buckets=[9.0],
                              windows_per_program=4)
-    # S+ twin: W8A8 encoder. In the old sequential-dispatch regime S+
+    # Arms beyond "S" (each soft-fails independently — advisor r3 low):
+    # S+ = W8A8 encoder twin. In the old sequential-dispatch regime S+
     # LOST at bs=1 (98 vs 111 RTFx — the wall was dispatch); with the
     # wpp=4 scan programs the path is device-bound and the encoder slice
     # is back on the critical path: interleaved A/B measured S 379 vs
     # S+ 432 (tools/longform_probe.py --ab-splus). The reference's "S"
     # engines are int8 END TO END (TensorRT int8), so W8A8 is the closer
     # analog; both are reported.
-    params_sp = quantize_params(
-        params, components=("encoder",), activation_int8=True)
-    eng_lf_sp = WhisperEngine(
-        params_sp, arch, compute_dtype=compute_dtype, batch_buckets=(1,),
-        cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
-    pipe_lf_sp = pl.ASRPipeline(eng_lf_sp, tokenizer=None, chunk_length_s=10,
-                                batch_size=1, latency_buckets=[9.0],
-                                windows_per_program=4)
+    # XL = bf16 turbo (the reference's fp16-engine analog; their best
+    # published bs=1 XL RTFx is H100 164.61).
     lf_audio = (0.1 * rng.standard_normal(600 * 16000)).astype(np.float32)
     lf_kw = {"max_new_tokens": 32, "language": "en"}
-    log("compiling long-form window programs (S, S+)...")
+    arms = {"S": pipe_lf}
+    eng_lf_sp = eng_lf_xl = params_sp = None
+    try:
+        params_sp = quantize_params(
+            params, components=("encoder",), activation_int8=True)
+        eng_lf_sp = WhisperEngine(
+            params_sp, arch, compute_dtype=compute_dtype, batch_buckets=(1,),
+            cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
+        arms["S+"] = pl.ASRPipeline(
+            eng_lf_sp, tokenizer=None, chunk_length_s=10, batch_size=1,
+            latency_buckets=[9.0], windows_per_program=4)
+    except Exception as e:
+        log(f"S+ long-form arm FAILED to build (continuing): {e!r}")
+    try:
+        eng_lf_xl = WhisperEngine(
+            params_bf, arch, compute_dtype=compute_dtype, batch_buckets=(1,),
+            suppress_tokens=[SpecialTokens().eot])
+        arms["XL"] = pl.ASRPipeline(
+            eng_lf_xl, tokenizer=None, chunk_length_s=10, batch_size=1,
+            latency_buckets=[9.0], windows_per_program=4)
+    except Exception as e:
+        log(f"XL long-form arm FAILED to build (continuing): {e!r}")
+    log(f"compiling long-form window programs ({', '.join(arms)})...")
     # Warm with the FULL file: the offset-window jit key includes the
     # 60 s-bucketed file length, so a short warmup file would compile a
     # DIFFERENT program and the first timed wall would absorb the real
     # compile (review finding).
-    pipe_lf(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
-            batch_size=1)
-    pipe_lf_sp(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
-               batch_size=1)
-    lf_walls, lf_sp_walls = [], []
+    for name in list(arms):
+        try:
+            arms[name](lf_audio, chunk_length_s=9,
+                       generate_kwargs=dict(lf_kw), batch_size=1)
+        except Exception as e:
+            log(f"{name} long-form warmup FAILED (continuing): {e!r}")
+            del arms[name]
+    walls = {name: [] for name in arms}
     for _ in range(5):   # interleaved best-of-5: tunnel drifts +-25%
-        t0 = time.perf_counter()
-        pipe_lf(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
-                batch_size=1)
-        lf_walls.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        pipe_lf_sp(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
-                   batch_size=1)
-        lf_sp_walls.append(time.perf_counter() - t0)
-    rtfx_lf = 600.0 / min(lf_walls)
-    rtfx_lf_sp = 600.0 / min(lf_sp_walls)
+        for name, pp in arms.items():
+            t0 = time.perf_counter()
+            pp(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
+               batch_size=1)
+            walls[name].append(time.perf_counter() - t0)
+    rtfx_arms = {name: 600.0 / min(w) for name, w in walls.items()}
+    rtfx_lf = rtfx_arms.get("S")
+    rtfx_lf_sp = rtfx_arms.get("S+")
+    rtfx_lf_xl = rtfx_arms.get("XL")
     log(f"bs=1 long-form (600 s, windowed pipeline, depth="
-        f"{pl.PIPELINE_DEPTH}): S walls "
-        f"{', '.join(f'{w:.2f}' for w in lf_walls)} s -> RTFx {rtfx_lf:.1f}; "
-        f"S+ walls {', '.join(f'{w:.2f}' for w in lf_sp_walls)} s -> RTFx "
-        f"{rtfx_lf_sp:.1f} (ref L40S 149.08 / H100 161.45)")
-    del eng_lf, pipe_lf, eng_lf_sp, pipe_lf_sp, params_sp
+        f"{pl.PIPELINE_DEPTH}): "
+        + "; ".join(
+            f"{name} walls {', '.join(f'{w:.2f}' for w in walls[name])} s "
+            f"-> RTFx {rtfx_arms[name]:.1f}" for name in arms)
+        + " (ref S: L40S 149.08 / H100 161.45; ref XL: L40S 152.07 / "
+          "H100 164.61)")
+    del arms, eng_lf, pipe_lf, eng_lf_sp, eng_lf_xl, params_sp
 
     # --- bs=32 LONG-FORM RTFx: the reference's large-batch protocol ---------
     # Same 10-minute file, window batch 32 (the reference's "Batch Size:
@@ -336,10 +410,16 @@ def main():
         eng_lf32 = WhisperEngine(
             params, arch, compute_dtype=compute_dtype, batch_buckets=(4, 32),
             cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
+        # windows_per_program=3: the 3 full bs=32 groups of the 100-window
+        # file run inside ONE lax.scan executable (the batched analog of
+        # the bs=1 wpp scan — round-3 review #2: the inter-group
+        # dispatch/fetch gaps held the path at 874 RTFx against a ~1200
+        # device ceiling); only the 4-window remainder dispatches apart.
         pipe_lf32 = pl.ASRPipeline(eng_lf32, tokenizer=None,
                                    chunk_length_s=10, batch_size=32,
-                                   latency_buckets=[9.0])
-        log("compiling bs=32 long-form window programs (32 + remainder 4)...")
+                                   latency_buckets=[9.0],
+                                   windows_per_program=3)
+        log("compiling bs=32 long-form programs (3x32 scan + remainder 4)...")
         pipe_lf32(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
                   batch_size=32)
         lf32_walls = []
@@ -349,12 +429,42 @@ def main():
                       generate_kwargs=dict(lf_kw), batch_size=32)
             lf32_walls.append(time.perf_counter() - t0)
         rtfx_lf32 = 600.0 / min(lf32_walls)
-        log(f"bs=32 long-form (600 s, windowed pipeline): walls "
-            f"{', '.join(f'{w:.2f}' for w in lf32_walls)} s -> RTFx "
+        log(f"bs=32 long-form (600 s, windowed pipeline, 3-group scan): "
+            f"walls {', '.join(f'{w:.2f}' for w in lf32_walls)} s -> RTFx "
             f"{rtfx_lf32:.1f} (ref L40S 516.90 / RTX 4090 917.57)")
         del eng_lf32, pipe_lf32
     except Exception as e:   # compile-heavy section: never sink the bench
         log(f"bs=32 long-form section FAILED (continuing): {e!r}")
+
+    # --- bs=64 long-form: the reference's largest published point ----------
+    # H100 turbo bs=64 RTFx 2016.18 / XL 1975.49
+    # (/root/reference/benchmark/README.md:136-143). The 100-window file
+    # gives one full bs=64 group + a 36-window remainder riding the same
+    # 64 bucket.
+    rtfx_lf64 = None
+    try:
+        eng_lf64 = WhisperEngine(
+            params, arch, compute_dtype=compute_dtype, batch_buckets=(64,),
+            cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
+        pipe_lf64 = pl.ASRPipeline(eng_lf64, tokenizer=None,
+                                   chunk_length_s=10, batch_size=64,
+                                   latency_buckets=[9.0])
+        log("compiling bs=64 long-form window program...")
+        pipe_lf64(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
+                  batch_size=64)
+        lf64_walls = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            pipe_lf64(lf_audio, chunk_length_s=9,
+                      generate_kwargs=dict(lf_kw), batch_size=64)
+            lf64_walls.append(time.perf_counter() - t0)
+        rtfx_lf64 = 600.0 / min(lf64_walls)
+        log(f"bs=64 long-form (600 s, windowed pipeline): walls "
+            f"{', '.join(f'{w:.2f}' for w in lf64_walls)} s -> RTFx "
+            f"{rtfx_lf64:.1f} (ref H100 bs=64 S 2016.18)")
+        del eng_lf64, pipe_lf64
+    except Exception as e:
+        log(f"bs=64 long-form section FAILED (continuing): {e!r}")
     del lf_audio
 
     # --- large batch throughput (stderr diagnostics) ------------------------
@@ -376,16 +486,44 @@ def main():
     buf = (0.1 * rng.standard_normal(9 * 16000)).astype(np.float32)
     audio_pad = np.zeros((1, 10 * 16000), np.float32)
     audio_pad[0, : len(buf)] = buf
-    engine.transcribe_audio(audio_pad, stream_opts)  # compile
+    res_st = engine.transcribe_audio(audio_pad, stream_opts)  # compile
+    # 400-tick soak (~25-30 s) for a stable tail; round-3 reported p95
+    # from 20 ticks and it ranged 68-121 ms across runs.
     lat = []
-    for _ in range(20):
+    for _ in range(400):
         t0 = time.perf_counter()
         engine.transcribe_audio(audio_pad, stream_opts)
         lat.append(time.perf_counter() - t0)
     p50 = statistics.median(lat) * 1e3
     p95 = pctl(lat, 0.95) * 1e3
-    log(f"p50/p95 streaming chunk latency (9s buffer, 32 tok + align, "
-        f"fused): {p50:.1f} / {p95:.1f} ms")
+    p99 = pctl(lat, 0.99) * 1e3
+    # Per-tick attribution: device-only time from a depth-4 async burst
+    # (k dispatches + one final fetch ~ k*device + 1 RTT); host
+    # postprocess = the alignment DTW + word grouping the streaming
+    # backend runs on each result.
+    k = 8
+    bursts = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        hs = [engine.transcribe_audio_async(audio_pad, stream_opts)
+              for _ in range(k)]
+        hs[-1].result()
+        bursts.append(time.perf_counter() - t0)
+    dev_ms = max((statistics.median(bursts) - rtt) / k, 0.0) * 1e3
+    from thewhisper_tpu.align import token_timestamps_from_alignment
+
+    t0 = time.perf_counter()
+    for _ in range(20):
+        token_timestamps_from_alignment(
+            res_st.align, res_st.prompt_len
+            + np.maximum(res_st.num_generated, 1) - 1,
+            num_frames=np.asarray([len(buf) // 160]),
+            median_filter_width=arch.median_filter_width)
+    host_ms = (time.perf_counter() - t0) / 20 * 1e3
+    log(f"p50/p95/p99 streaming chunk latency (9s buffer, 32 tok + align, "
+        f"fused, 400 ticks): {p50:.1f} / {p95:.1f} / {p99:.1f} ms = "
+        f"~{rtt*1e3:.1f} tunnel RTT + ~{dev_ms:.1f} device + "
+        f"~{host_ms:.1f} host align post (residual: dispatch jitter)")
 
     # --- large-v3 ("XL" family): the reference's 220 tok/s headline model --
     # README.md:19's claim is for whisper-large-v3 (32 decoder layers),
@@ -396,7 +534,8 @@ def main():
     # tools/xl_unroll_probe.py).
     from thewhisper_tpu.models.whisper import init_params_device
 
-    xl_tok_s = None
+    lv3_tok_s = lv3_ttft = lv3_ttft_ex = lv3_rtfx_lf = None
+    lv3_spec_tok_s = lv3_spec_tpr = None
     try:
         arch_xl = dataclasses.replace(
             ARCH_PRESETS["large-v3"], max_source_positions=500,
@@ -408,19 +547,110 @@ def main():
         eng_xl = WhisperEngine(
             params_xl, arch_xl, compute_dtype=compute_dtype,
             batch_buckets=(1,), suppress_tokens=[SpecialTokens().eot])
-        log("compiling large-v3 programs (16/144 tok)...")
+        log("compiling large-v3 programs (1/16/144 tok)...")
+        eng_xl.transcribe_features(mel_dev, one_opts)
         eng_xl.transcribe_features(mel, short_opts)
         eng_xl.transcribe_features(mel, long_opts)
         t_s_xl, r_s_xl = timed(short_opts, iters=6, eng=eng_xl)
         t_l_xl, r_l_xl = timed(long_opts, iters=6, eng=eng_xl)
-        xl_tok_s = (int(r_l_xl.num_generated[0])
-                    - int(r_s_xl.num_generated[0])
-                    ) / max(t_l_xl - t_s_xl, 1e-9)
-        log(f"large-v3 bs=1 int8-S: {xl_tok_s:.1f} tok/s "
-            f"({xl_tok_s / 220.0:.2f}x the reference claim on the SAME arch)")
-        del eng_xl, params_xl
+        lv3_tok_s = (int(r_l_xl.num_generated[0])
+                     - int(r_s_xl.num_generated[0])
+                     ) / max(t_l_xl - t_s_xl, 1e-9)
+        lts = []
+        for _ in range(12):
+            t0 = time.perf_counter()
+            eng_xl.transcribe_features(mel_dev, one_opts)
+            lts.append(time.perf_counter() - t0)
+        lv3_ttft = statistics.median(lts)
+        lv3_ttft_ex = max(lv3_ttft - rtt, 0.0)
+        log(f"large-v3 bs=1 int8-S: {lv3_tok_s:.1f} tok/s "
+            f"({lv3_tok_s / 220.0:.2f}x the reference claim on the SAME "
+            f"arch); TTFT {lv3_ttft*1e3:.1f} ms = {rtt*1e3:.1f} RTT + "
+            f"{lv3_ttft_ex*1e3:.1f} compute")
     except Exception as e:   # compile-heavy section: never sink the bench
         log(f"large-v3 section FAILED (continuing): {e!r}")
+        eng_xl = params_xl = None
+
+    # large-v3 long-form: the same windowed-pipeline protocol as the
+    # turbo rows (9 s windows, wpp=4 scan). No published reference
+    # analog exists — the reference's large-v3 engine publishes only the
+    # 220 tok/s decode claim; this records the honest pipeline number
+    # for the 32-layer decoder.
+    if eng_xl is not None:
+        try:
+            lf_audio3 = (0.1 * rng.standard_normal(600 * 16000)
+                         ).astype(np.float32)
+            pipe_lv3 = pl.ASRPipeline(
+                eng_xl, tokenizer=None, chunk_length_s=10, batch_size=1,
+                latency_buckets=[9.0], windows_per_program=4)
+            log("compiling large-v3 long-form scan programs...")
+            pipe_lv3(lf_audio3, chunk_length_s=9,
+                     generate_kwargs=dict(lf_kw), batch_size=1)
+            lw = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                pipe_lv3(lf_audio3, chunk_length_s=9,
+                         generate_kwargs=dict(lf_kw), batch_size=1)
+                lw.append(time.perf_counter() - t0)
+            lv3_rtfx_lf = 600.0 / min(lw)
+            log(f"large-v3 bs=1 long-form (600 s): walls "
+                f"{', '.join(f'{w:.2f}' for w in lw)} s -> RTFx "
+                f"{lv3_rtfx_lf:.1f}")
+            del pipe_lv3, lf_audio3
+        except Exception as e:
+            log(f"large-v3 long-form FAILED (continuing): {e!r}")
+
+    # large-v3 two-model speculation, END TO END (round-3 review #3):
+    # a 4-layer layer-skip draft (the target's own first layers + final
+    # LN + tied embedding — the zero-training deployment shape) drives
+    # speculative_decode with DEVICE round counts, timed INTERLEAVED
+    # with the plain engine. The acceptance rate here is a REAL device
+    # measurement on this (random-weight) model, not an assumed number;
+    # tools/lv3_spec_e2e_probe.py additionally distills the draft and
+    # sweeps acceptance.
+    if eng_xl is not None and params_xl is not None:
+        try:
+            from thewhisper_tpu.engine.speculative import (
+                make_layer_skip_draft,
+            )
+
+            d_params, d_arch = make_layer_skip_draft(params_xl, arch_xl, 4)
+            eng_sp3 = WhisperEngine(
+                params_xl, arch_xl, compute_dtype=compute_dtype,
+                batch_buckets=(1,), suppress_tokens=[SpecialTokens().eot],
+                draft_params=d_params, draft_arch=d_arch, spec_window=4)
+            log("compiling large-v3 layer-skip speculative programs...")
+            eng_sp3.transcribe_features(mel, short_opts)
+            eng_sp3.transcribe_features(mel, long_opts)
+            P_s3, P_l3, N_s3, N_l3 = [], [], [], []
+            r_s3 = r_l3 = None
+            for _ in range(6):
+                t0 = time.perf_counter()
+                eng_xl.transcribe_features(mel, short_opts)
+                P_s3.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                eng_xl.transcribe_features(mel, long_opts)
+                P_l3.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                r_s3 = eng_sp3.transcribe_features(mel, short_opts)
+                N_s3.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                r_l3 = eng_sp3.transcribe_features(mel, long_opts)
+                N_l3.append(time.perf_counter() - t0)
+            emitted3 = int(r_l3.num_generated[0]) - int(r_s3.num_generated[0])
+            plain3 = emitted3 / max(med(P_l3) - med(P_s3), 1e-9)
+            lv3_spec_tok_s = emitted3 / max(med(N_l3) - med(N_s3), 1e-9)
+            d_rounds3 = max(r_l3.spec_rounds - r_s3.spec_rounds, 1)
+            lv3_spec_tpr = emitted3 / d_rounds3
+            log(f"large-v3 layer-skip(4) speculative: {lv3_spec_tok_s:.1f} "
+                f"tok/s ({lv3_spec_tok_s / max(plain3, 1e-9):.2f}x plain "
+                f"{plain3:.0f}) at {lv3_spec_tpr:.2f} tok/round MEASURED "
+                f"(device rounds {r_s3.spec_rounds}/{r_l3.spec_rounds})")
+            del eng_sp3, d_params
+        except Exception as e:
+            log(f"large-v3 speculative FAILED (continuing): {e!r}")
+    if eng_xl is not None:
+        del eng_xl, params_xl
 
     # --- offline bs=32 RTFx (30 s windows, device-resident input) ----------
     del engine
@@ -428,9 +658,8 @@ def main():
         ARCH_PRESETS["large-v3-turbo"],
         alignment_heads=((1, 0), (2, 3), (3, 7)))
     log("initializing 30 s bucket params for offline RTFx...")
-    params30 = quantize_params(
-        init_params(arch30, seed=0, dtype=compute_dtype),
-        components=("decoder",))
+    params30_bf = init_params(arch30, seed=0, dtype=compute_dtype)
+    params30 = quantize_params(params30_bf, components=("decoder",))
     eng32 = WhisperEngine(
         params30, arch30, compute_dtype=compute_dtype, batch_buckets=(32,),
         cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
@@ -459,6 +688,43 @@ def main():
     log(f"offline bs=32 (int8 cross-KV): {ms_step:.2f} ms/step, fixed "
         f"{fixed*1e3:.0f} ms -> RTFx {rtfx112:.0f} (112 steps) / "
         f"{rtfx224:.0f} (224 steps)")
+
+    # --- MFU (achieved TFLOP/s / 197 v5e peak; round-3 review #6) -----------
+    # Encoder: a bare bf16 encoder pass at bs=32 x 30 s (the MXU-bound
+    # compute). Decode: the measured bs=32 step, FLOP- and HBM-normalized
+    # (the step is bandwidth-bound — its HBM utilization is the honest
+    # efficiency figure; MFU is reported for chip-normalized comparison).
+    enc_mfu = dec_mfu = dec_hbm = None
+    try:
+        from thewhisper_tpu.models.whisper import encoder_forward
+        from thewhisper_tpu.utils import flops as FL
+
+        feat30 = LogMelFeaturizer(n_mels=arch30.n_mels, chunk_length_s=30.0)
+        mel32 = feat30(audio32)
+        enc_fn = jax.jit(lambda p, m: jnp.sum(
+            encoder_forward(p, m, arch30, compute_dtype)
+            .astype(jnp.float32)))
+        float(enc_fn(params30, mel32))   # compile
+        et = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(enc_fn(params30, mel32))
+            et.append(time.perf_counter() - t0)
+        t_enc_pass = statistics.median(et)
+        enc_mfu = (FL.encoder_flops(arch30, 3000, 32)
+                   / t_enc_pass / FL.V5E_PEAK_BF16)
+        step_flops = FL.decode_step_flops(arch30, cache_len=84, t_enc=1500,
+                                          batch=32)
+        dec_mfu = step_flops / (ms_step / 1e3) / FL.V5E_PEAK_BF16
+        step_bytes = FL.decode_step_bytes(arch30, cache_len=84, t_enc=1500,
+                                          batch=32)
+        dec_hbm = step_bytes / (ms_step / 1e3) / FL.V5E_PEAK_HBM
+        log(f"MFU: encoder bs=32 pass {t_enc_pass*1e3:.0f} ms -> "
+            f"{enc_mfu*100:.1f}% of 197 TFLOP/s; decode bs=32 step "
+            f"{dec_mfu*100:.1f}% MFU, {dec_hbm*100:.1f}% of 819 GB/s HBM")
+        del mel32, enc_fn
+    except Exception as e:
+        log(f"MFU section FAILED (continuing): {e!r}")
 
     # --- "S+" variant: W8A8 encoder (int8 activations + weights) -----------
     # The reference's TensorRT "S" engines are int8 end to end
@@ -492,6 +758,84 @@ def main():
     log(f"offline bs=32 S+ (W8A8 encoder): {ms_step_p:.2f} ms/step, fixed "
         f"{fixed_p*1e3:.0f} ms -> RTFx {rtfx112_p:.0f} (112) / "
         f"{rtfx224_p:.0f} (224)")
+    del eng_sp, params_sp
+
+    # --- XL (bf16 turbo) offline bs=32: the reference's fp16 row ------------
+    rtfx112_xl = rtfx224_xl = None
+    try:
+        eng_xl32 = WhisperEngine(
+            params30_bf, arch30, compute_dtype=compute_dtype,
+            batch_buckets=(32,), suppress_tokens=[SpecialTokens().eot])
+        log("compiling XL (bf16) bs=32 offline programs...")
+        eng_xl32.transcribe_audio(audio32, s_opts)
+        eng_xl32.transcribe_audio(audio32, l_opts)
+
+        def timed_xl32(o, n=6):
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                eng_xl32.transcribe_audio(audio32, o)
+                ts.append(time.perf_counter() - t0)
+            return statistics.median(ts)
+
+        t16x = timed_xl32(s_opts)
+        t144x = timed_xl32(l_opts)
+        ms_step_x = (t144x - t16x) / (144 - 16) * 1e3
+        fixed_x = max(t16x - 16 * ms_step_x / 1e3, 0.0)
+        rtfx112_xl = 600.0 / (fixed_x + 112 * ms_step_x / 1e3)
+        rtfx224_xl = 600.0 / (fixed_x + 224 * ms_step_x / 1e3)
+        log(f"offline bs=32 XL (bf16): {ms_step_x:.2f} ms/step, fixed "
+            f"{fixed_x*1e3:.0f} ms -> RTFx {rtfx112_xl:.0f} (112) / "
+            f"{rtfx224_xl:.0f} (224) (ref XL L40S 518.06)")
+        del eng_xl32
+    except Exception as e:
+        log(f"XL bs=32 offline section FAILED (continuing): {e!r}")
+    del params30_bf
+
+    # --- offline bs=64: the reference's largest published point -------------
+    # H100 bs=64 S RTFx 2016.18 (benchmark/README.md:136-143). Same
+    # differential methodology at batch 64; reports whether v5e's
+    # per-chip optimum is bs=32 or 64.
+    rtfx112_64 = rtfx224_64 = None
+    try:
+        eng64 = WhisperEngine(
+            params30, arch30, compute_dtype=compute_dtype,
+            batch_buckets=(64,), cross_kv_int8=True,
+            suppress_tokens=[SpecialTokens().eot])
+        audio64 = jax.device_put(jnp.asarray(
+            (0.1 * rng.standard_normal((64, 30 * 16000))
+             ).astype(np.float32)))
+        log("compiling bs=64 offline programs (16/144 tok)...")
+        eng64.transcribe_audio(audio64, s_opts)
+        eng64.transcribe_audio(audio64, l_opts)
+
+        def timed64(o, n=6):
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                eng64.transcribe_audio(audio64, o)
+                ts.append(time.perf_counter() - t0)
+            return statistics.median(ts)
+
+        t16q = timed64(s_opts)
+        t144q = timed64(l_opts)
+        ms_step_q = (t144q - t16q) / (144 - 16) * 1e3
+        fixed_q = max(t16q - 16 * ms_step_q / 1e3, 0.0)
+        # RTFx convention follows the bs=32 row (600 s of audio -> ~32
+        # overlapped 30 s windows, i.e. 18.75 s of unique audio per
+        # window): a bs=64 batch carries 2x the audio -> 1200 s.
+        rtfx112_64 = 1200.0 / (fixed_q + 112 * ms_step_q / 1e3)
+        rtfx224_64 = 1200.0 / (fixed_q + 224 * ms_step_q / 1e3)
+        log(f"offline bs=64 (int8 cross-KV): {ms_step_q:.2f} ms/step, "
+            f"fixed {fixed_q*1e3:.0f} ms -> RTFx {rtfx112_64:.0f} (112) / "
+            f"{rtfx224_64:.0f} (224) (ref H100 bs=64 2016.18); per-chip "
+            f"optimum: bs={64 if rtfx112_64 > rtfx112 * 2 else 32}")
+        del eng64, audio64
+    except Exception as e:
+        log(f"bs=64 offline section FAILED (continuing): {e!r}")
+
+    def put(key, val, scale=1.0, nd=1):
+        return {key: round(val * scale, nd)} if val is not None else {}
 
     print(json.dumps({
         "metric": "decode_tok_s",
@@ -501,24 +845,49 @@ def main():
         "ttft_bs1_ms": round(ttft * 1e3, 1),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
         "ttft_bs1_ex_rtt_ms": round(ttft_ex * 1e3, 1),
-        "rtfx_bs1_144tok": round(rtfx_bs1, 1),
-        "rtfx_bs1_longform": round(rtfx_lf, 1),
-        "rtfx_bs1_longform_splus": round(rtfx_lf_sp, 1),
-        **({"rtfx_bs32_longform": round(rtfx_lf32, 1)}
-           if rtfx_lf32 is not None else {}),
+        # Renamed from rtfx_bs1_144tok (round-3 review #6): a forced
+        # 144-token micro-decode of ONE 10 s window, protocol-matched to
+        # nothing the reference publishes.
+        "rtfx_bs1_forced144_10s_micro": round(rtfx_bs1, 1),
+        **put("rtfx_bs1_longform", rtfx_lf),
+        **put("rtfx_bs1_longform_splus", rtfx_lf_sp),
+        # xl_* = the reference's "XL" rows: the fp16 (here bf16) TURBO
+        # engine (benchmark/README.md:91-93). whisper-large-v3 proper
+        # reports under lv3_*.
+        **put("xl_rtfx_bs1_longform", rtfx_lf_xl),
+        **put("xl_ttft_ms", xl_ttft, 1e3),
+        **put("xl_ttft_ex_rtt_ms", xl_ttft_ex, 1e3),
+        **put("xl_decode_tok_s", xl_tok_s_turbo),
+        **put("rtfx_bs32_longform", rtfx_lf32),
+        **put("rtfx_bs64_longform", rtfx_lf64),
         "spec_ngram_tok_s": round(spec_tok_s, 1),
         "spec_run_tok_per_round": round(tpr_run, 2),
         "spec_round_cost_x_step": round(xo, 2),
         "spec_ngram_natural_tok_s": round(spec_nat, 1),
         "stream_p50_ms": round(p50, 1),
         "stream_p95_ms": round(p95, 1),
+        "stream_p99_ms": round(p99, 1),
+        "stream_tick_device_ms": round(dev_ms, 1),
+        "stream_tick_host_align_ms": round(host_ms, 1),
         "offline_bs32_rtfx112": round(rtfx112, 1),
         "offline_bs32_rtfx224": round(rtfx224, 1),
         "offline_bs32_rtfx112_splus": round(rtfx112_p, 1),
         "offline_bs32_rtfx224_splus": round(rtfx224_p, 1),
-        **({"xl_decode_tok_s": round(xl_tok_s, 1),
-            "xl_vs_baseline_same_arch": round(xl_tok_s / 220.0, 3)}
-           if xl_tok_s is not None else {}),
+        **put("offline_bs32_rtfx112_xl", rtfx112_xl),
+        **put("offline_bs32_rtfx224_xl", rtfx224_xl),
+        **put("offline_bs64_rtfx112", rtfx112_64),
+        **put("offline_bs64_rtfx224", rtfx224_64),
+        **put("encoder_bs32_mfu", enc_mfu, 1.0, 3),
+        **put("decode_bs32_mfu", dec_mfu, 1.0, 3),
+        **put("decode_bs32_hbm_util", dec_hbm, 1.0, 3),
+        **put("lv3_decode_tok_s", lv3_tok_s),
+        **({"lv3_vs_ref_same_arch": round(lv3_tok_s / 220.0, 3)}
+           if lv3_tok_s is not None else {}),
+        **put("lv3_ttft_ms", lv3_ttft, 1e3),
+        **put("lv3_ttft_ex_rtt_ms", lv3_ttft_ex, 1e3),
+        **put("lv3_rtfx_bs1_longform", lv3_rtfx_lf),
+        **put("lv3_spec_layerskip_tok_s", lv3_spec_tok_s),
+        **put("lv3_spec_tok_per_round", lv3_spec_tpr, 1.0, 2),
     }))
 
 
