@@ -405,34 +405,64 @@ def main():
     # benchmark/README.md:113-120; L40S turbo-"S" 516.90, RTX 4090
     # 917.57). 100 windows -> three bs=32 calls + one bs=4 remainder;
     # both buckets compile once and ride the pipelined batched dispatch.
-    rtfx_lf32 = None
+    rtfx_lf32 = rtfx_lf32_sp = None
     try:
         eng_lf32 = WhisperEngine(
             params, arch, compute_dtype=compute_dtype, batch_buckets=(4, 32),
             cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
         # windows_per_program=3: the 3 full bs=32 groups of the 100-window
         # file run inside ONE lax.scan executable (the batched analog of
-        # the bs=1 wpp scan — round-3 review #2: the inter-group
-        # dispatch/fetch gaps held the path at 874 RTFx against a ~1200
-        # device ceiling); only the 4-window remainder dispatches apart.
+        # the bs=1 wpp scan; measured neutral — 871.9 vs 874 — proving
+        # the path device-bound, so the S+ arm below is the real lever);
+        # only the 4-window remainder dispatches apart.
         pipe_lf32 = pl.ASRPipeline(eng_lf32, tokenizer=None,
                                    chunk_length_s=10, batch_size=32,
                                    latency_buckets=[9.0],
                                    windows_per_program=3)
-        log("compiling bs=32 long-form programs (3x32 scan + remainder 4)...")
-        pipe_lf32(lf_audio, chunk_length_s=9, generate_kwargs=dict(lf_kw),
-                  batch_size=32)
-        lf32_walls = []
+        # S+ arm: the batched long-form wall is ~90% encoder (32 windows
+        # x 32 decode steps amortize to ~1.5 ms/step), so the W8A8
+        # encoder's bs=32 win (706 -> 630 ms offline) transfers here.
+        arms32 = {"S": pipe_lf32}
+        try:
+            params_sp32 = quantize_params(
+                params, components=("encoder",), activation_int8=True)
+            eng_lf32_sp = WhisperEngine(
+                params_sp32, arch, compute_dtype=compute_dtype,
+                batch_buckets=(4, 32), cross_kv_int8=True,
+                suppress_tokens=[SpecialTokens().eot])
+            arms32["S+"] = pl.ASRPipeline(
+                eng_lf32_sp, tokenizer=None, chunk_length_s=10,
+                batch_size=32, latency_buckets=[9.0],
+                windows_per_program=3)
+        except Exception as e:
+            log(f"bs=32 long-form S+ arm FAILED to build: {e!r}")
+        log(f"compiling bs=32 long-form programs "
+            f"({', '.join(arms32)}; 3x32 scan + remainder 4)...")
+        for name in list(arms32):
+            try:
+                arms32[name](lf_audio, chunk_length_s=9,
+                             generate_kwargs=dict(lf_kw), batch_size=32)
+            except Exception as e:
+                log(f"bs=32 {name} warmup FAILED: {e!r}")
+                del arms32[name]
+        walls32 = {name: [] for name in arms32}
         for _ in range(5):
-            t0 = time.perf_counter()
-            pipe_lf32(lf_audio, chunk_length_s=9,
-                      generate_kwargs=dict(lf_kw), batch_size=32)
-            lf32_walls.append(time.perf_counter() - t0)
-        rtfx_lf32 = 600.0 / min(lf32_walls)
+            for name, pp in arms32.items():
+                t0 = time.perf_counter()
+                pp(lf_audio, chunk_length_s=9,
+                   generate_kwargs=dict(lf_kw), batch_size=32)
+                walls32[name].append(time.perf_counter() - t0)
+        rtfx_lf32 = (600.0 / min(walls32["S"])
+                     if walls32.get("S") else None)
+        rtfx_lf32_sp = (600.0 / min(walls32["S+"])
+                        if walls32.get("S+") else None)
         log(f"bs=32 long-form (600 s, windowed pipeline, 3-group scan): "
-            f"walls {', '.join(f'{w:.2f}' for w in lf32_walls)} s -> RTFx "
-            f"{rtfx_lf32:.1f} (ref L40S 516.90 / RTX 4090 917.57)")
-        del eng_lf32, pipe_lf32
+            + "; ".join(
+                f"{name} walls "
+                f"{', '.join(f'{w:.2f}' for w in walls32[name])} s -> RTFx "
+                f"{600.0 / min(walls32[name]):.1f}" for name in arms32)
+            + " (ref L40S 516.90 / RTX 4090 917.57)")
+        del eng_lf32, pipe_lf32, arms32
     except Exception as e:   # compile-heavy section: never sink the bench
         log(f"bs=32 long-form section FAILED (continuing): {e!r}")
 
@@ -443,8 +473,12 @@ def main():
     # 64 bucket.
     rtfx_lf64 = None
     try:
+        # Buckets (4, 32, 64): the 36-window tail of the 100-window file
+        # splits 32+4 instead of padding 28 dead rows into the 64 bucket
+        # (measured 658 vs 872 RTFx before the tail split).
         eng_lf64 = WhisperEngine(
-            params, arch, compute_dtype=compute_dtype, batch_buckets=(64,),
+            params, arch, compute_dtype=compute_dtype,
+            batch_buckets=(4, 32, 64),
             cross_kv_int8=True, suppress_tokens=[SpecialTokens().eot])
         pipe_lf64 = pl.ASRPipeline(eng_lf64, tokenizer=None,
                                    chunk_length_s=10, batch_size=64,
@@ -859,6 +893,7 @@ def main():
         **put("xl_ttft_ex_rtt_ms", xl_ttft_ex, 1e3),
         **put("xl_decode_tok_s", xl_tok_s_turbo),
         **put("rtfx_bs32_longform", rtfx_lf32),
+        **put("rtfx_bs32_longform_splus", rtfx_lf32_sp),
         **put("rtfx_bs64_longform", rtfx_lf64),
         "spec_ngram_tok_s": round(spec_tok_s, 1),
         "spec_run_tok_per_round": round(tpr_run, 2),

@@ -499,3 +499,33 @@ def test_batch_scan_path_matches_sequential(tiny_pipeline):
         pl.PIPELINE_DEPTH = old
         tiny_pipeline.windows_per_program = 1
     assert seq == scan
+
+
+def test_offset_tail_split_matches_sequential(tiny_pipeline):
+    """A short tail group splits to the largest fitting batch buckets
+    (4+2+1 for 7 windows at batch_size=4) instead of padding dead rows;
+    output must match the sequential path exactly."""
+    import thewhisper_tpu.pipeline as pl
+    from thewhisper_tpu.pipeline import _tail_fit
+
+    assert _tail_fit(7, 4, (1, 2, 4)) == 4
+    assert _tail_fit(3, 4, (1, 2, 4)) == 2
+    assert _tail_fit(1, 4, (1, 2, 4)) == 1
+    assert _tail_fit(36, 64, (4, 32, 64)) == 32
+    assert _tail_fit(3, 64, (64,)) == 3      # no smaller bucket: as-is
+
+    audio = _audio(13.1, seed=29)   # 7 windows at 2 s chunk
+    kw = {"max_new_tokens": 8, "language": "en"}
+    old = pl.PIPELINE_DEPTH
+    try:
+        pl.PIPELINE_DEPTH = 0
+        seq = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0,
+                            batch_size=4)
+        pl.PIPELINE_DEPTH = 2
+        off = tiny_pipeline(audio, return_timestamps="word",
+                            generate_kwargs=dict(kw), chunk_length_s=2.0,
+                            batch_size=4)
+    finally:
+        pl.PIPELINE_DEPTH = old
+    assert seq == off

@@ -523,6 +523,7 @@ class ASRPipeline:
         batch_scan_ok = (bsz > 1 and wpp > 1 and not spec_engine
                          and hasattr(self.engine,
                                      "transcribe_batch_scan_async"))
+        buckets = getattr(self.engine, "batch_buckets", (bsz,))
         if batch_scan_ok:
             n_full = (len(offsets) // bsz) * bsz
             start = 0
@@ -537,7 +538,10 @@ class ASRPipeline:
                 else:
                     # Single (or remainder, possibly short) group: the
                     # plain batched program — no scan twin to compile.
-                    group = [int(o) for o in offsets[start: start + bsz]]
+                    # Short tails split to the largest fitting bucket
+                    # (a 36-window tail at bsz=64 must not pad 28 rows).
+                    n = _tail_fit(len(offsets) - start, bsz, buckets)
+                    group = [int(o) for o in offsets[start: start + n]]
                     handle = self.engine.transcribe_windows_async(
                         dev_audio, group, win, bucket_samples, opts,
                         use_pallas=self._use_pallas)
@@ -549,8 +553,11 @@ class ASRPipeline:
                 drain_one()
             return seqs, ts_seqs, lp_seqs, langs
         group_n = wpp if scan_ok else bsz
-        for start in range(0, len(offsets), group_n):
-            group = [int(o) for o in offsets[start: start + group_n]]
+        start = 0
+        while start < len(offsets):
+            n = (group_n if scan_ok
+                 else _tail_fit(len(offsets) - start, group_n, buckets))
+            group = [int(o) for o in offsets[start: start + n]]
             if scan_ok:
                 # bs=1 with W windows per SCAN program: device math is
                 # unchanged (strictly sequential, batch 1); dispatch and
@@ -571,6 +578,7 @@ class ASRPipeline:
             pending.append((handle, start, len(group)))
             if len(pending) > depth:
                 drain_one()
+            start += len(group)
         while pending:
             drain_one()
         return seqs, ts_seqs, lp_seqs, langs
@@ -671,6 +679,18 @@ class ASRPipeline:
                 chunks = _group_words_into_segments(chunks)
             out["chunks"] = chunks
         return out
+
+
+def _tail_fit(remaining: int, bsz: int, buckets) -> int:
+    """Group size for the next dispatch: full ``bsz`` while it fits; a
+    short tail takes the LARGEST compiled batch bucket that fits instead
+    of padding to ``bsz`` (a 36-window tail at bsz=64 padded 28 dead rows
+    of encoder+decode — measured 658 vs 872 RTFx on the bs=64 long-form
+    protocol before this split)."""
+    if remaining >= bsz:
+        return bsz
+    fit = [b for b in buckets if b <= remaining and b < bsz]
+    return max(fit) if fit else remaining
 
 
 # Segment boundaries: break after sentence-final punctuation, or at an
