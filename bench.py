@@ -570,6 +570,7 @@ def main():
 
     lv3_tok_s = lv3_ttft = lv3_ttft_ex = lv3_rtfx_lf = None
     lv3_spec_tok_s = lv3_spec_tpr = None
+    lv3_specd_tok_s = lv3_specd_tpr = None
     try:
         arch_xl = dataclasses.replace(
             ARCH_PRESETS["large-v3"], max_source_positions=500,
@@ -683,6 +684,91 @@ def main():
             del eng_sp3, d_params
         except Exception as e:
             log(f"large-v3 speculative FAILED (continuing): {e!r}")
+
+    # Distilled draft, measured end to end: the raw layer-skip draft
+    # accepts ~nothing on this model (1.00 tok/round above); ~24 KL
+    # steps against the frozen bf16 target on its OWN greedy outputs
+    # lift teacher-forced agreement to ~0.93 and the measured
+    # acceptance to ~4.9 tok/round (tools/lv3_spec_e2e_probe.py sweeps
+    # the curve). On a random-weight target the teacher is an easy
+    # student's mark — real-checkpoint acceptance will sit lower; the
+    # MACHINERY (distill -> deploy -> device-counted rounds) is what
+    # this pins.
+    if eng_xl is not None and params_xl is not None:
+        try:
+            from thewhisper_tpu.engine.speculative import (
+                make_layer_skip_draft,
+            )
+            from thewhisper_tpu.training.distill import (
+                init_distill_state, make_distill_step,
+            )
+
+            log("distilling a 4-layer large-v3 draft (24 steps)...")
+            # bf16 teacher for training; the int8-S engine stays the
+            # deployment target.
+            params_xl_bf = init_params_device(arch_xl, seed=0,
+                                              dtype=compute_dtype)
+            student, d_arch2 = make_layer_skip_draft(
+                {"decoder": params_xl_bf["decoder"]}, arch_xl, 4)
+            dstate, tx3 = init_distill_state(student, learning_rate=3e-5)
+            dstep = make_distill_step(d_arch2, arch_xl, tx3,
+                                      compute_dtype=compute_dtype)
+            gen_opts3 = GenerationOptions(max_new_tokens=32, language="en")
+            eng_gen3 = WhisperEngine(
+                params_xl, arch_xl, compute_dtype=compute_dtype,
+                batch_buckets=(4,), suppress_tokens=[SpecialTokens().eot])
+            for it in range(24):
+                r3 = np.random.default_rng(it)
+                audio3 = (0.1 * r3.standard_normal((4, 10 * 16000))
+                          ).astype(np.float32)
+                m3 = np.asarray(featurizer(audio3), np.float32)
+                res3 = eng_gen3.transcribe_features(m3, gen_opts3)
+                tokens3 = np.asarray(
+                    res3.tokens[:, : res3.prompt_len + 32], np.int32)
+                dstate, dloss = dstep(
+                    dstate, {"decoder": params_xl_bf["decoder"],
+                             "encoder": params_xl_bf["encoder"]},
+                    {"mel": jnp.asarray(m3), "tokens": jnp.asarray(tokens3)})
+            log(f"  final distill loss {float(dloss):.4f}")
+            dp2 = jax.tree.map(
+                lambda a: (a.astype(compute_dtype)
+                           if jnp.issubdtype(a.dtype, jnp.floating) else a),
+                dstate.student)
+            eng_spd = WhisperEngine(
+                params_xl, arch_xl, compute_dtype=compute_dtype,
+                batch_buckets=(1,), suppress_tokens=[SpecialTokens().eot],
+                draft_params=dp2, draft_arch=d_arch2, spec_window=4)
+            eng_spd.transcribe_features(mel, short_opts)
+            eng_spd.transcribe_features(mel, long_opts)
+            P_s4, P_l4, N_s4, N_l4 = [], [], [], []
+            r_s4 = r_l4 = None
+            for _ in range(6):
+                t0 = time.perf_counter()
+                eng_xl.transcribe_features(mel, short_opts)
+                P_s4.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                eng_xl.transcribe_features(mel, long_opts)
+                P_l4.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                r_s4 = eng_spd.transcribe_features(mel, short_opts)
+                N_s4.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                r_l4 = eng_spd.transcribe_features(mel, long_opts)
+                N_l4.append(time.perf_counter() - t0)
+            emitted4 = (int(r_l4.num_generated[0])
+                        - int(r_s4.num_generated[0]))
+            plain4 = emitted4 / max(med(P_l4) - med(P_s4), 1e-9)
+            lv3_specd_tok_s = emitted4 / max(med(N_l4) - med(N_s4), 1e-9)
+            d_rounds4 = max(r_l4.spec_rounds - r_s4.spec_rounds, 1)
+            lv3_specd_tpr = emitted4 / d_rounds4
+            log(f"large-v3 DISTILLED-draft speculative: "
+                f"{lv3_specd_tok_s:.1f} tok/s "
+                f"({lv3_specd_tok_s / max(plain4, 1e-9):.2f}x plain "
+                f"{plain4:.0f}) at {lv3_specd_tpr:.2f} tok/round MEASURED "
+                f"(device rounds {r_s4.spec_rounds}/{r_l4.spec_rounds})")
+            del (eng_spd, eng_gen3, dstate, dp2, student, params_xl_bf)
+        except Exception as e:
+            log(f"large-v3 distilled speculative FAILED (continuing): {e!r}")
     if eng_xl is not None:
         del eng_xl, params_xl
 
@@ -923,6 +1009,8 @@ def main():
         **put("lv3_rtfx_bs1_longform", lv3_rtfx_lf),
         **put("lv3_spec_layerskip_tok_s", lv3_spec_tok_s),
         **put("lv3_spec_tok_per_round", lv3_spec_tpr, 1.0, 2),
+        **put("lv3_spec_distilled_tok_s", lv3_specd_tok_s),
+        **put("lv3_spec_distilled_tok_per_round", lv3_specd_tpr, 1.0, 2),
     }))
 
 
