@@ -570,7 +570,7 @@ def main():
 
     lv3_tok_s = lv3_ttft = lv3_ttft_ex = lv3_rtfx_lf = None
     lv3_spec_tok_s = lv3_spec_tpr = None
-    lv3_specd_tok_s = lv3_specd_tpr = None
+    lv3_specd_tok_s = lv3_specd_tpr = lv3_rtfx_lf_spec = None
     try:
         arch_xl = dataclasses.replace(
             ARCH_PRESETS["large-v3"], max_source_positions=500,
@@ -766,6 +766,35 @@ def main():
                 f"({lv3_specd_tok_s / max(plain4, 1e-9):.2f}x plain "
                 f"{plain4:.0f}) at {lv3_specd_tpr:.2f} tok/round MEASURED "
                 f"(device rounds {r_s4.spec_rounds}/{r_l4.spec_rounds})")
+            # Long-form through the SAME distilled-draft engine: the
+            # plain lv3 long-form is decode-bound (3200 tok x 2.07 ms),
+            # exactly where the 2.4x draft bites. Speculative engines
+            # ride the per-window offset path (scalar round counters
+            # don't stack as scan rows); depth-2 pipelining hides the
+            # per-window dispatch behind the 32-layer device time.
+            try:
+                lf_audio4 = (0.1 * np.random.default_rng(0)
+                             .standard_normal(600 * 16000)
+                             ).astype(np.float32)
+                pipe_lv3s = pl.ASRPipeline(
+                    eng_spd, tokenizer=None, chunk_length_s=10,
+                    batch_size=1, latency_buckets=[9.0])
+                log("compiling large-v3 speculative long-form program...")
+                pipe_lv3s(lf_audio4, chunk_length_s=9,
+                          generate_kwargs=dict(lf_kw), batch_size=1)
+                lw4 = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    pipe_lv3s(lf_audio4, chunk_length_s=9,
+                              generate_kwargs=dict(lf_kw), batch_size=1)
+                    lw4.append(time.perf_counter() - t0)
+                lv3_rtfx_lf_spec = 600.0 / min(lw4)
+                log(f"large-v3 bs=1 long-form, distilled draft: walls "
+                    f"{', '.join(f'{w:.2f}' for w in lw4)} s -> RTFx "
+                    f"{lv3_rtfx_lf_spec:.1f}")
+                del pipe_lv3s, lf_audio4
+            except Exception as e:
+                log(f"large-v3 speculative long-form FAILED: {e!r}")
             del (eng_spd, eng_gen3, dstate, dp2, student, params_xl_bf)
         except Exception as e:
             log(f"large-v3 distilled speculative FAILED (continuing): {e!r}")
@@ -1011,6 +1040,7 @@ def main():
         **put("lv3_spec_tok_per_round", lv3_spec_tpr, 1.0, 2),
         **put("lv3_spec_distilled_tok_s", lv3_specd_tok_s),
         **put("lv3_spec_distilled_tok_per_round", lv3_specd_tpr, 1.0, 2),
+        **put("lv3_rtfx_bs1_longform_spec", lv3_rtfx_lf_spec),
     }))
 
 
