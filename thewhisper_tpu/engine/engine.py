@@ -159,6 +159,12 @@ class WhisperEngine:
             # target's encoder states are shared) — don't ship a distil
             # checkpoint's encoder weights to HBM.
             draft_params = {"decoder": draft_params["decoder"]}
+            if mesh is None:
+                from thewhisper_tpu.models.whisper import (
+                    fuse_self_qkv_params,
+                )
+
+                draft_params = fuse_self_qkv_params(draft_params)
         self.draft_params = (jax.device_put(draft_params)
                              if draft_params is not None else None)
         self.draft_arch = draft_arch
@@ -177,6 +183,16 @@ class WhisperEngine:
         self.mesh = mesh
         # With a mesh, params must arrive pre-placed (shard_params) —
         # a blanket device_put would yank them back to one device.
+        # Single-chip engines pre-fuse each decoder layer's self q/k/v
+        # into one (in, 3d) GEMV (models.whisper.fuse_self_qkv_params:
+        # +4.5% on the kernel-overhead-bound large-v3 step,
+        # tools/qkv_fuse_probe.py); the fused out axis mixes q/k/v
+        # channels, which the TP pspecs don't describe, so meshed
+        # engines keep the separate leaves.
+        if mesh is None:
+            from thewhisper_tpu.models.whisper import fuse_self_qkv_params
+
+            params = fuse_self_qkv_params(params)
         self.params = params if mesh is not None else jax.device_put(params)
         self._suppress = (
             jnp.asarray(suppress_mask(arch.vocab_size, suppress_tokens))

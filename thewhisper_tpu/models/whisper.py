@@ -541,6 +541,66 @@ def _decoder_unroll(arch: WhisperArch, batch: int) -> int:
     return arch.decoder_layers if arch.decoder_layers <= 4 else 1
 
 
+def fuse_self_qkv_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Pre-concatenate each decoder layer's self q/k/v into one (in, 3d)
+    projection leaf (``qkv_w``/``qkv_b``), dropping the separate leaves.
+
+    The bs=1 decode step is per-kernel-overhead-bound (int4 halved the
+    weight bytes for only 8-10%, models/quant.py); one fused GEMV per
+    layer instead of three measured 1.045x on the large-v3 step
+    (tools/qkv_fuse_probe.py: 2.13 -> 2.04 ms interleaved). Applied by
+    ``WhisperEngine`` at init on single-chip engines — the fused out
+    axis mixes q/k/v channels, which the TP pspecs don't describe, so
+    meshed engines keep the separate leaves. Works on bf16 arrays and
+    weight-only int8 ``{"q", "s"}`` leaves (per-out-channel scales
+    concatenate right along); anything else (e.g. W8A8) is left alone.
+    NOTE the trace-time concat variant of this fusion measured SLOWER
+    on the ENCODER (``_fuse_qkv_enabled``) — compute-bound matmuls
+    don't care, and the per-call concat costs; pre-fusing the scanned
+    decode weights is the case that pays."""
+    dec = params.get("decoder")
+    if not dec:
+        return params
+    sa = dec["layers"].get("self")
+    if not sa or "qkv_w" in sa:
+        return params
+    q_w, k_w, v_w = sa["q_w"], sa["k_w"], sa["v_w"]
+    leaves = (q_w, k_w, v_w)
+    if all(isinstance(w, dict) and set(w) == {"q", "s"} for w in leaves):
+        qkv_w: Any = {
+            "q": jnp.concatenate([q_w["q"], k_w["q"], v_w["q"]], axis=-1),
+            "s": jnp.concatenate([q_w["s"], k_w["s"], v_w["s"]], axis=-1),
+        }
+    elif all(not isinstance(w, dict) for w in leaves):
+        qkv_w = jnp.concatenate([q_w, k_w, v_w], axis=-1)
+    else:
+        return params
+    qkv_b = jnp.concatenate(
+        [sa["q_b"], jnp.zeros_like(sa["q_b"]), sa["v_b"]], axis=-1)
+    new_sa = {k: v for k, v in sa.items()
+              if k not in ("q_w", "k_w", "v_w", "q_b", "v_b")}
+    new_sa["qkv_w"] = qkv_w
+    new_sa["qkv_b"] = qkv_b
+    new_layers = dict(dec["layers"])
+    new_layers["self"] = new_sa
+    new_dec = dict(dec)
+    new_dec["layers"] = new_layers
+    out = dict(params)
+    out["decoder"] = new_dec
+    return out
+
+
+def _self_qkv(q_in: jnp.ndarray, sa: Dict[str, Any]):
+    """Self-attention projections -> (q, k, v), each (B, S, d); one fused
+    GEMV when the params carry ``qkv_w`` (see fuse_self_qkv_params)."""
+    if "qkv_w" in sa:
+        qkv = _linear(q_in, sa["qkv_w"], sa["qkv_b"])
+        return jnp.split(qkv, 3, axis=-1)
+    return (_linear(q_in, sa["q_w"], sa["q_b"]),
+            _linear(q_in, sa["k_w"], None),
+            _linear(q_in, sa["v_w"], sa["v_b"]))
+
+
 def _stack_prefill(params, x, arch, self_mask, cache, cache_index, align_sel):
     """Prompt pass: fill cache slots [cache_index, cache_index + S).
 
@@ -553,15 +613,11 @@ def _stack_prefill(params, x, arch, self_mask, cache, cache_index, align_sel):
         h = carry
         lp, cross_k, cross_v, self_k, self_v = xs
         q_in = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"])
-        q = jnp.transpose(_split_heads(
-            _linear(q_in, lp["self"]["q_w"], lp["self"]["q_b"]), n_heads),
-            (0, 2, 1, 3))
+        q_p, k_p, v_p = _self_qkv(q_in, lp["self"])
+        q = jnp.transpose(_split_heads(q_p, n_heads), (0, 2, 1, 3))
         # K/V straight to feature-major (B, H, dh, P).
-        k = jnp.transpose(_split_heads(
-            _linear(q_in, lp["self"]["k_w"], None), n_heads), (0, 2, 3, 1))
-        v = jnp.transpose(_split_heads(
-            _linear(q_in, lp["self"]["v_w"], lp["self"]["v_b"]), n_heads),
-            (0, 2, 3, 1))
+        k = jnp.transpose(_split_heads(k_p, n_heads), (0, 2, 3, 1))
+        v = jnp.transpose(_split_heads(v_p, n_heads), (0, 2, 3, 1))
         self_k = jax.lax.dynamic_update_slice(
             self_k, k.astype(self_k.dtype), (0, 0, 0, cache_index))
         self_v = jax.lax.dynamic_update_slice(
@@ -603,14 +659,10 @@ def _stack_step(params, x, arch, cache, position, align_sel):
         h = carry
         lp, cross_k, cross_v, self_k, self_v = xs
         q_in = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"])
-        q = jnp.transpose(_split_heads(
-            _linear(q_in, lp["self"]["q_w"], lp["self"]["q_b"]), n_heads),
-            (0, 2, 1, 3))                                  # (B, H, 1, dh)
-        k = jnp.transpose(_split_heads(
-            _linear(q_in, lp["self"]["k_w"], None), n_heads), (0, 2, 1, 3))
-        v = jnp.transpose(_split_heads(
-            _linear(q_in, lp["self"]["v_w"], lp["self"]["v_b"]), n_heads),
-            (0, 2, 1, 3))
+        q_p, k_p, v_p = _self_qkv(q_in, lp["self"])
+        q = jnp.transpose(_split_heads(q_p, n_heads), (0, 2, 1, 3))  # (B, H, 1, dh)
+        k = jnp.transpose(_split_heads(k_p, n_heads), (0, 2, 1, 3))
+        v = jnp.transpose(_split_heads(v_p, n_heads), (0, 2, 1, 3))
         dh = q.shape[-1]
         self_logit = jnp.sum(
             (q * dh ** -0.5).astype(jnp.float32) * k.astype(jnp.float32),
@@ -754,14 +806,10 @@ def _stack_verify(params, x, arch, cache, positions, align_sel):
         h = carry
         lp, cross_k, cross_v, self_k, self_v = xs
         q_in = _layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"])
-        q = jnp.transpose(_split_heads(
-            _linear(q_in, lp["self"]["q_w"], lp["self"]["q_b"]), n_heads),
-            (0, 2, 1, 3))                                  # (B, H, W, dh)
-        k_win = jnp.transpose(_split_heads(
-            _linear(q_in, lp["self"]["k_w"], None), n_heads), (0, 2, 1, 3))
-        v_win = jnp.transpose(_split_heads(
-            _linear(q_in, lp["self"]["v_w"], lp["self"]["v_b"]), n_heads),
-            (0, 2, 1, 3))
+        q_p, k_p, v_p = _self_qkv(q_in, lp["self"])
+        q = jnp.transpose(_split_heads(q_p, n_heads), (0, 2, 1, 3))  # (B, H, W, dh)
+        k_win = jnp.transpose(_split_heads(k_p, n_heads), (0, 2, 1, 3))
+        v_win = jnp.transpose(_split_heads(v_p, n_heads), (0, 2, 1, 3))
         dh = q.shape[-1]
         qs = (q * dh ** -0.5)
         logit_c = jnp.einsum(
