@@ -1,0 +1,151 @@
+"""Decode-megakernel parity vs the production XLA step.
+
+ops/mega_step.py reimplements the whole bs=1 decoder step (all layers +
+final LN + tied-embedding logits) as one Pallas kernel; these tests pin
+it against models.whisper.decoder_step / engine.decode.greedy_decode on
+the CPU Pallas interpreter (the kernel is numerics-identical modulo bf16
+rounding order; compiled-mode numerics are additionally checked on the
+real chip by tools/mega_step_probe.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thewhisper_tpu.config import WhisperArch
+from thewhisper_tpu.models.quant import quantize_kv, quantize_params
+from thewhisper_tpu.models.whisper import (
+    DecodeCache,
+    compute_cross_kv,
+    decoder_prefill,
+    decoder_step,
+    fuse_self_qkv_params,
+    init_params,
+    make_cache,
+)
+from thewhisper_tpu.ops.mega_step import (
+    MEGA_KEY,
+    from_slot_major,
+    mega_decoder_step,
+    pack_mega_params,
+    prepare_mega_cache,
+)
+
+ARCH = WhisperArch(
+    d_model=384, encoder_layers=2, encoder_heads=6, decoder_layers=2,
+    decoder_heads=6, d_ff=1536, n_mels=80, vocab_size=500,
+    max_source_positions=96, max_target_positions=64,
+    alignment_heads=((0, 1), (1, 3)))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(ARCH, seed=3, dtype=jnp.bfloat16)
+    params = quantize_params(params, components=("decoder",))
+    params = fuse_self_qkv_params(params)
+    params = pack_mega_params(params, ARCH)
+    assert MEGA_KEY in params["decoder"]
+    rng = np.random.default_rng(0)
+    enc_out = jnp.asarray(rng.standard_normal((1, 96, 384)), jnp.bfloat16)
+    ck, cv = compute_cross_kv(params, enc_out, ARCH)
+    cache = make_cache(ARCH, 1, 16, quantize_kv(ck), quantize_kv(cv),
+                       dtype=jnp.bfloat16)
+    prompt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    _, cache, _ = decoder_prefill(params, prompt, cache, ARCH, jnp.bfloat16)
+    return params, cache, prompt
+
+
+def test_pack_refuses_unquantized():
+    params = init_params(ARCH, dtype=jnp.bfloat16)
+    assert MEGA_KEY not in pack_mega_params(params, ARCH).get("decoder", {})
+    params = fuse_self_qkv_params(params)  # fused but not int8
+    assert MEGA_KEY not in pack_mega_params(params, ARCH)["decoder"]
+
+
+@pytest.mark.parametrize("pos", [4, 9, 15])
+def test_step_parity(setup, pos):
+    """Logits / alignment / cache writes match decoder_step at bf16 tol."""
+    params, cache, _ = setup
+    sk, sv, cross = prepare_mega_cache(cache)
+    tok = jnp.asarray([[7 + pos]], jnp.int32)
+    lg_r, cache_r, al_r = decoder_step(
+        params, tok, jnp.int32(pos), cache, ARCH, jnp.bfloat16)
+    lg_m, (sk1, sv1), al_m = mega_decoder_step(
+        params, tok, jnp.int32(pos), sk, sv, cross, ARCH, True)
+
+    lr, lm = np.asarray(lg_r, np.float32), np.asarray(lg_m, np.float32)
+    assert lm.shape == lr.shape == (1, ARCH.vocab_size)
+    rel = np.abs(lr - lm).max() / max(np.abs(lr).max(), 1e-6)
+    assert rel < 2e-2, f"logits rel err {rel}"
+
+    ar, am = np.asarray(al_r, np.float32), np.asarray(al_m, np.float32)
+    assert am.shape == ar.shape            # (1, A, T_enc)
+    assert np.abs(ar - am).max() < 2e-3
+
+    for ref, got in ((cache_r.self_k, sk1), (cache_r.self_v, sv1)):
+        r = np.asarray(ref, np.float32)
+        g = np.asarray(from_slot_major(got, ARCH.decoder_heads), np.float32)
+        assert np.abs(r - g).max() < 5e-2  # one bf16 rounding apart
+        # every slot except `pos` is bit-identical to the input cache
+        mask = np.ones(r.shape[-1], bool)
+        mask[pos] = False
+        np.testing.assert_array_equal(g[..., mask], r[..., mask])
+
+
+def test_greedy_token_parity(setup, monkeypatch):
+    """greedy_decode through the megakernel = same tokens as the XLA path."""
+    from thewhisper_tpu.engine.decode import greedy_decode
+
+    params, cache, prompt = setup
+    kw = dict(max_new_tokens=6, eot=2, capture_alignment=True,
+              compute_dtype=jnp.bfloat16)
+
+    monkeypatch.setenv("WHISPER_MEGAKERNEL", "0")
+    ref = greedy_decode(params, ARCH, prompt, cache, **kw)
+    monkeypatch.setenv("WHISPER_MEGAKERNEL", "interpret")
+    got = greedy_decode(params, ARCH, prompt, cache, **kw)
+
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.num_generated),
+                                  np.asarray(got.num_generated))
+    # Alignment rows for generated positions exist and are close.
+    a_r = np.asarray(ref.align, np.float32)
+    a_g = np.asarray(got.align, np.float32)
+    assert a_r.shape == a_g.shape
+    assert np.abs(a_r - a_g).max() < 5e-3
+    # Logprob accounting follows the same (slightly reordered bf16) math.
+    assert np.allclose(np.asarray(ref.sum_logprob),
+                       np.asarray(got.sum_logprob), atol=0.3)
+
+
+def test_engine_e2e_token_parity(monkeypatch):
+    """WhisperEngine end-to-end: the packed megakernel program produces
+    the same tokens as the XLA step program (cross_kv_int8 engine,
+    bs=1 bucket — the exact config bench.py's bs=1 long-form arms use)."""
+    from thewhisper_tpu.config import GenerationOptions, SpecialTokens
+    from thewhisper_tpu.engine.engine import WhisperEngine
+
+    params = init_params(ARCH, seed=5, dtype=jnp.bfloat16)
+    params = quantize_params(params, components=("decoder",))
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((ARCH.n_mels, 192)).astype(np.float32)
+    opts = GenerationOptions(max_new_tokens=8, language=None,
+                             return_timestamps=False)
+    special = SpecialTokens.for_vocab(ARCH.vocab_size)
+
+    def run(env):
+        monkeypatch.setenv("WHISPER_MEGAKERNEL", env)
+        eng = WhisperEngine(params, ARCH, special=special,
+                            compute_dtype=jnp.bfloat16, batch_buckets=(1,),
+                            cross_kv_int8=True)
+        if env != "0":
+            assert MEGA_KEY in eng.params["decoder"]
+        return eng.transcribe_features(mel, opts)
+
+    ref = run("0")
+    got = run("interpret")
+    np.testing.assert_array_equal(ref.tokens, got.tokens)
+    np.testing.assert_array_equal(ref.num_generated, got.num_generated)

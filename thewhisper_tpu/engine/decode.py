@@ -132,6 +132,29 @@ def greedy_decode(
     # per XLA cost analysis.
     cross_k, cross_v = cache.cross_k, cache.cross_v
 
+    # bs=1 int8-S engines route the step through the decode megakernel
+    # (ops/mega_step.py: the whole L-layer step + logits as ONE Pallas
+    # kernel — the per-kernel-overhead fix measured in
+    # tools/gemv_chain_probe.py). The loop then carries SLOT-MAJOR
+    # (L, S, D) self K/V instead of feature-major; semantics identical.
+    from thewhisper_tpu.ops.mega_step import (
+        MEGA_KEY,
+        mega_decoder_step,
+        mega_enabled,
+        prepare_mega_cache,
+    )
+
+    dec_tree = params.get("decoder") if isinstance(params, dict) else None
+    use_mega = (b == 1
+                and compute_dtype == jnp.bfloat16
+                and isinstance(dec_tree, dict) and MEGA_KEY in dec_tree
+                and isinstance(cache.cross_k, dict)
+                and mega_enabled())
+    if use_mega:
+        self_k0, self_v0, mega_cross = prepare_mega_cache(cache)
+    else:
+        self_k0, self_v0, mega_cross = cache.self_k, cache.self_v, None
+
     class Carry(NamedTuple):
         step: jnp.ndarray
         tokens: jnp.ndarray
@@ -148,9 +171,16 @@ def greedy_decode(
     def body(c: Carry):
         pos = p + c.step - 1          # cache slot of the token being fed
         tok = jax.lax.dynamic_slice(c.tokens, (0, pos), (b, 1))
-        step_cache = DecodeCache(c.self_k, c.self_v, cross_k, cross_v)
-        logits, new_cache, align_step = decoder_step(
-            params, tok, pos.astype(jnp.int32), step_cache, arch, compute_dtype)
+        if use_mega:
+            logits, (new_k, new_v), align_step = mega_decoder_step(
+                params, tok, pos.astype(jnp.int32), c.self_k, c.self_v,
+                mega_cross, arch, capture_alignment)
+        else:
+            step_cache = DecodeCache(c.self_k, c.self_v, cross_k, cross_v)
+            logits, new_cache, align_step = decoder_step(
+                params, tok, pos.astype(jnp.int32), step_cache, arch,
+                compute_dtype)
+            new_k, new_v = new_cache.self_k, new_cache.self_v
         nxt, lp = pick(logits, jnp.bool_(False), c.step)
         nxt = jnp.where(c.done, eot, nxt)
         new_tokens = jax.lax.dynamic_update_slice(
@@ -165,10 +195,10 @@ def greedy_decode(
         else:
             new_align = c.align
         return Carry(c.step + 1, new_tokens, new_done,
-                     new_cache.self_k, new_cache.self_v, new_align, new_sum,
+                     new_k, new_v, new_align, new_sum,
                      new_token_lp)
 
-    init = Carry(jnp.int32(1), tokens, done0, cache.self_k, cache.self_v,
+    init = Carry(jnp.int32(1), tokens, done0, self_k0, self_v0,
                  align_buf, sum_lp0, token_lp0)
     out = jax.lax.while_loop(cond, body, init)
 

@@ -123,6 +123,7 @@ class WhisperEngine:
         spec_window: int = 4,
         spec_ngram: bool = False,
         mesh: Optional[Any] = None,
+        megakernel: bool = True,
     ):
         """``draft_params``/``draft_arch`` enable speculative greedy
         decoding (engine/speculative.py): the draft decoder proposes
@@ -193,6 +194,15 @@ class WhisperEngine:
             from thewhisper_tpu.models.whisper import fuse_self_qkv_params
 
             params = fuse_self_qkv_params(params)
+            if megakernel:
+                # int8-S decoders additionally get the bs=1 decode
+                # megakernel's aux leaves (ops/mega_step.py); greedy
+                # routes through the single-kernel step when the batch
+                # bucket is 1 and the cross-KV is int8. No-op for
+                # non-quantized or un-fused params.
+                from thewhisper_tpu.ops.mega_step import pack_mega_params
+
+                params = pack_mega_params(params, arch)
         self.params = params if mesh is not None else jax.device_put(params)
         self._suppress = (
             jnp.asarray(suppress_mask(arch.vocab_size, suppress_tokens))
