@@ -121,6 +121,80 @@ def test_greedy_token_parity(setup, monkeypatch):
                        np.asarray(got.sum_logprob), atol=0.3)
 
 
+@pytest.mark.parametrize("pos,w", [(4, 5), (9, 5), (6, 3)])
+def test_verify_parity(setup, pos, w):
+    """mega_decoder_verify matches decoder_verify: per-row logits and the
+    window cache write (slots [pos, pos+W))."""
+    from thewhisper_tpu.models.whisper import decoder_verify
+    from thewhisper_tpu.ops.mega_step import mega_decoder_verify
+
+    params, cache, _ = setup
+    sk, sv, cross = prepare_mega_cache(cache)
+    window = jnp.asarray([[5 + (i * 7 + pos) % 90 for i in range(w)]],
+                         jnp.int32)
+    lg_r, cache_r, _ = decoder_verify(
+        params, window, jnp.asarray([pos], jnp.int32), cache, ARCH,
+        jnp.bfloat16)
+    lg_m, (sk1, sv1), al_m = mega_decoder_verify(
+        params, window, jnp.int32(pos), sk, sv, cross, ARCH)
+
+    lr, lm = np.asarray(lg_r, np.float32), np.asarray(lg_m, np.float32)
+    assert lm.shape == lr.shape == (1, w, ARCH.vocab_size)
+    rel = np.abs(lr - lm).max() / max(np.abs(lr).max(), 1e-6)
+    assert rel < 2e-2, f"logits rel err {rel}"
+    # Alignment is intentionally zeros on this path (flash cross pass).
+    assert np.all(np.asarray(al_m) == 0.0)
+
+    for ref, got in ((cache_r.self_k, sk1), (cache_r.self_v, sv1)):
+        r = np.asarray(ref, np.float32)
+        g = np.asarray(from_slot_major(got, ARCH.decoder_heads), np.float32)
+        assert np.abs(r - g).max() < 5e-2
+        mask = np.ones(r.shape[-1], bool)
+        mask[pos:pos + w] = False
+        np.testing.assert_array_equal(g[..., mask], r[..., mask])
+
+
+@pytest.mark.parametrize("mode", ["ngram", "model"])
+def test_speculative_token_parity(setup, monkeypatch, mode):
+    """speculative_decode through the verify megakernel = same tokens
+    as the XLA verify (both == greedy by construction)."""
+    from thewhisper_tpu.engine.speculative import (
+        make_layer_skip_draft,
+        speculative_decode,
+    )
+
+    params, cache, prompt = setup
+    if mode == "model":
+        draft_params, draft_arch = make_layer_skip_draft(params, ARCH, 1)
+        # Draft cross-KV from the same encoder states as the fixture.
+        rng = np.random.default_rng(0)
+        enc_out = jnp.asarray(rng.standard_normal((1, 96, 384)),
+                              jnp.bfloat16)
+        dk, dv = compute_cross_kv(draft_params, enc_out, draft_arch)
+        draft_cache = make_cache(draft_arch, 1, 16, quantize_kv(dk),
+                                 quantize_kv(dv), dtype=jnp.bfloat16)
+    else:
+        draft_params = draft_arch = draft_cache = None
+
+    kw = dict(
+        params=params, arch=ARCH, draft_params=draft_params,
+        draft_arch=draft_arch, prompt=prompt, draft_cache=draft_cache,
+        max_new_tokens=6, eot=2, spec_window=4,
+        compute_dtype=jnp.bfloat16, ngram_draft=(mode == "ngram"))
+
+    monkeypatch.setenv("WHISPER_MEGAKERNEL", "0")
+    ref = speculative_decode(cache=cache, **kw)
+    monkeypatch.setenv("WHISPER_MEGAKERNEL", "interpret")
+    got = speculative_decode(cache=cache, **kw)
+
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.num_generated),
+                                  np.asarray(got.num_generated))
+    assert np.allclose(np.asarray(ref.sum_logprob),
+                       np.asarray(got.sum_logprob), atol=0.3)
+
+
 def test_engine_e2e_token_parity(monkeypatch):
     """WhisperEngine end-to-end: the packed megakernel program produces
     the same tokens as the XLA step program (cross_kv_int8 engine,

@@ -141,6 +141,7 @@ def greedy_decode(
         MEGA_KEY,
         mega_decoder_step,
         mega_enabled,
+        mega_pays,
         prepare_mega_cache,
     )
 
@@ -149,6 +150,7 @@ def greedy_decode(
                 and compute_dtype == jnp.bfloat16
                 and isinstance(dec_tree, dict) and MEGA_KEY in dec_tree
                 and isinstance(cache.cross_k, dict)
+                and mega_pays(arch)
                 and mega_enabled())
     if use_mega:
         self_k0, self_v0, mega_cross = prepare_mega_cache(cache)

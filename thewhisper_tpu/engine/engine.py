@@ -197,12 +197,19 @@ class WhisperEngine:
             if megakernel:
                 # int8-S decoders additionally get the bs=1 decode
                 # megakernel's aux leaves (ops/mega_step.py); greedy
-                # routes through the single-kernel step when the batch
-                # bucket is 1 and the cross-KV is int8. No-op for
-                # non-quantized or un-fused params.
-                from thewhisper_tpu.ops.mega_step import pack_mega_params
+                # (and the speculative verify) route through the
+                # single-kernel step when the batch bucket is 1 and the
+                # cross-KV is int8. No-op for non-quantized or un-fused
+                # params, and skipped where the kernel doesn't pay
+                # (shallow decoders run the fully-unrolled XLA step at
+                # the HBM floor; packing would waste a ~67 MB embt copy).
+                from thewhisper_tpu.ops.mega_step import (
+                    mega_pays,
+                    pack_mega_params,
+                )
 
-                params = pack_mega_params(params, arch)
+                if mega_pays(arch):
+                    params = pack_mega_params(params, arch)
         self.params = params if mesh is not None else jax.device_put(params)
         self._suppress = (
             jnp.asarray(suppress_mask(arch.vocab_size, suppress_tokens))

@@ -217,6 +217,33 @@ def speculative_decode(
         _, draft_cache, _ = decoder_prefill(
             draft_params, prompt, draft_cache, draft_arch, compute_dtype)
 
+    # bs=1 int8-S targets route the verify pass through the verify
+    # megakernel (ops/mega_step.py::mega_decoder_verify — the W extra
+    # query rows ride one HBM weight stream), carrying SLOT-MAJOR
+    # (L, S, D) target self K/V. Alignment capture needs the full cross
+    # prob map, which the kernel's flash pass never materializes, so
+    # those decodes stay on the XLA verify.
+    from thewhisper_tpu.ops.mega_step import (
+        MEGA_KEY,
+        mega_decoder_verify,
+        mega_enabled,
+        mega_pays,
+        prepare_mega_cache,
+    )
+
+    dec_tree = params.get("decoder") if isinstance(params, dict) else None
+    use_mega = (b == 1
+                and compute_dtype == jnp.bfloat16
+                and not capture_alignment
+                and isinstance(dec_tree, dict) and MEGA_KEY in dec_tree
+                and isinstance(cache.cross_k, dict)
+                and mega_pays(arch)
+                and mega_enabled())
+    if use_mega:
+        t_self_k0, t_self_v0, mega_cross = prepare_mega_cache(cache)
+    else:
+        t_self_k0, t_self_v0, mega_cross = cache.self_k, cache.self_v, None
+
     if capture_alignment:
         align_buf = jnp.zeros((b, n_align, s_buf, t_enc), jnp.float32)
         align_buf = jax.lax.dynamic_update_slice(
@@ -327,10 +354,16 @@ def speculative_decode(
 
         # --- verify the whole window in one target pass ----------------
         window = jnp.concatenate([w0, drafts], axis=1)       # (B, W+1)
-        vlogits, ncache, valign = decoder_verify(
-            params, window, feed_pos,
-            DecodeCache(c.self_k, c.self_v, cross_k, cross_v),
-            arch, compute_dtype)
+        if use_mega:
+            vlogits, (nk_t, nv_t), valign = mega_decoder_verify(
+                params, window, feed_pos[0], c.self_k, c.self_v,
+                mega_cross, arch)
+        else:
+            vlogits, ncache, valign = decoder_verify(
+                params, window, feed_pos,
+                DecodeCache(c.self_k, c.self_v, cross_k, cross_v),
+                arch, compute_dtype)
+            nk_t, nv_t = ncache.self_k, ncache.self_v
         sl = masked(vlogits, False)                          # (B, W+1, V)
         pred = jnp.argmax(sl, axis=-1).astype(jnp.int32)     # (B, W+1)
         logp = jax.nn.log_softmax(sl, axis=-1)
@@ -398,10 +431,13 @@ def speculative_decode(
         new_done = c.done | (has_eot & live) | (n_acc2 >= max_new_tokens)
         sel = live[:, None]
         sel5 = live[None, :, None, None, None]
+        # Target cache keep-if-done: slot-major (L, S, D) on the mega
+        # path (b==1, scalar select), feature-major 5-d otherwise.
+        sel_t = live[0] if use_mega else sel5
         return _Carry(
             new_tokens, n_acc2, new_done,
-            jnp.where(sel5, ncache.self_k, c.self_k),
-            jnp.where(sel5, ncache.self_v, c.self_v),
+            jnp.where(sel_t, nk_t, c.self_k),
+            jnp.where(sel_t, nv_t, c.self_v),
             c.d_self_k if model_free else jnp.where(sel5, d_k, c.d_self_k),
             c.d_self_v if model_free else jnp.where(sel5, d_v, c.d_self_v),
             new_align,
@@ -410,7 +446,7 @@ def speculative_decode(
             c.rounds + 1)
 
     init = _Carry(tokens, jnp.ones((b,), jnp.int32), done0,
-                  cache.self_k, cache.self_v,
+                  t_self_k0, t_self_v0,
                   draft_cache.self_k, draft_cache.self_v,
                   align_buf, sum_lp0, token_lp0, jnp.int32(0))
     out = jax.lax.while_loop(cond, body, init)

@@ -79,6 +79,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def mega_pays(arch: "WhisperArch", batch: int = 1) -> bool:
+    """Depth gate: the megakernel wins where the XLA alternative is the
+    ROLLED layer scan (deep decoders are per-kernel-overhead-bound:
+    2.204 -> 1.714 ms = 1.29x on large-v3). A fully-unrolled shallow
+    decoder (turbo, 4 layers) already runs at the HBM floor and measured
+    a slight LOSS through the kernel (0.974x at L=4,
+    tools/mega_step_probe.py --layers 4) — so gate on the same
+    full-unroll-or-roll policy the XLA step uses."""
+    from thewhisper_tpu.models.whisper import _decoder_unroll
+
+    return _decoder_unroll(arch, batch) == 1
+
+
 def _pick_tile(n: int, cap: int) -> int:
     """Largest multiple of 128 that divides ``n`` and is <= cap."""
     for t in range(min(cap, n), 127, -128):
@@ -651,4 +664,450 @@ def mega_decoder_step(
 
     logits = lgo[:, :V]                                      # (1, V) f32
     align = jnp.transpose(alo[:cross.t_enc, :n_align])[None]  # (1, A, T)
+    return logits, (new_k, new_v), align
+
+
+# ---------------------------------------------------------------------------
+# The verify megakernel: the same single-kernel step generalized to a
+# W-token speculative-verify window (models.whisper.decoder_verify at
+# bs=1). The W extra query rows ride the SAME weight stream — every GEMV
+# becomes a (W_pad, in) @ (in, out) matmul over identical tiles — so a
+# whole verify round costs barely more HBM traffic than one step. Cross
+# attention switches to a flash-style online softmax (running max / sum /
+# accumulator per query row) because storing W full (T_pad, 128) prob
+# maps would blow the ~16 MB VMEM budget that the step kernel already
+# sits near.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _build_mega_verify_fn(L: int, D: int, F: int, H: int, S: int,
+                          T_pad: int, t_enc: int, V: int, V_pad: int,
+                          W: int, WP: int, interpret: bool):
+    """Build+jit the W-row verify megakernel for one static shape tuple."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dh = D // H
+    scale = float(dh) ** -0.5
+    D3 = 3 * D
+    NS = 20 * D + 2 * F
+    TQ = _pick_tile(D3, 512)
+    TD = _pick_tile(D, 256)
+    TC = 256
+    TCF = _pick_tile(F, 256)
+    TF = _pick_tile(F, 256)
+    TV = 512
+    assert T_pad % TC == 0 and V_pad % TV == 0
+    NTC = T_pad // TC
+    f32, bf16 = jnp.float32, jnp.bfloat16
+
+    offs = {}
+    o = 0
+    for name, width in (("ln1_s", D), ("ln1_b", D), ("qkv_s", D3),
+                        ("qkv_b", D3), ("o_s", D), ("o_b", D),
+                        ("lnc_s", D), ("lnc_b", D), ("cq_s", D),
+                        ("cq_b", D), ("co_s", D), ("co_b", D),
+                        ("ln2_s", D), ("ln2_b", D), ("fc1_s", F),
+                        ("fc1_b", F), ("fc2_s", D), ("fc2_b", D)):
+        offs[name] = (o, width)
+        o += width
+    assert o == NS
+
+    def kernel(pos_ref, x_ref, sel_ref, selt_ref, lnp_ref, cks_ref, cvs_ref,
+               smalls, qkvw, ow, cqw, cow, fc1w, fc2w, skc, svc, ckc, cvc,
+               embt, embs,
+               xo, ko, vo, lgo,
+               smb, skb, svb,
+               bufA, bufO, bufQ, bufB, bufK, bufV, buf1, buf2, bufE, bufEs,
+               semA, semO, semQ, semB, semK, semV, sem1, sem2, semE, semEs,
+               semSK, semSV, semSM):
+        pos = pos_ref[0]
+
+        def ln(x, s, b):
+            x32 = x.astype(f32)
+            mu = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+            y = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+            return (y * s + b).astype(bf16)
+
+        def cdma(w_ref, buf, sem, l, j, tile):
+            return pltpu.make_async_copy(
+                w_ref.at[l, :, pl.ds(j * tile, tile)],
+                buf.at[j % 2], sem.at[j % 2])
+
+        def rdma(w_ref, buf, sem, l, j, tile):
+            return pltpu.make_async_copy(
+                w_ref.at[l, pl.ds(j * tile, tile), :],
+                buf.at[j % 2], sem.at[j % 2])
+
+        def sm_dma(l):
+            return pltpu.make_async_copy(
+                smalls.at[l], smb.at[jax.lax.rem(l, 2)],
+                semSM.at[jax.lax.rem(l, 2)])
+
+        def sk_dma(l):
+            return pltpu.make_async_copy(skc.at[l], skb, semSK)
+
+        def sv_dma(l):
+            return pltpu.make_async_copy(svc.at[l], svb, semSV)
+
+        def edma(j):
+            return pltpu.make_async_copy(
+                embt.at[:, pl.ds(j * TV, TV)], bufE.at[j % 2],
+                semE.at[j % 2])
+
+        def esdma(j):
+            return pltpu.make_async_copy(
+                embs.at[:, pl.ds(j * TV, TV)], bufEs.at[j % 2],
+                semEs.at[j % 2])
+
+        # Streamed (WP, in) @ int8 (L, in, out) over column tiles — the
+        # step kernel's gemv_col verbatim; xin now carries WP rows.
+        def gemm_col(l, xin, w_ref, buf, sem, n_out, tile, s_seg, b_seg,
+                     chain=None, at_first=None):
+            nt = n_out // tile
+            parts = []
+            for j in range(nt):
+                if j == 0 and at_first is not None:
+                    at_first()
+                if j + 1 < nt:
+                    cdma(w_ref, buf, sem, l, j + 1, tile).start()
+                elif chain is not None:
+                    chain()
+                cdma(w_ref, buf, sem, l, j, tile).wait()
+                wt = buf[j % 2].astype(bf16)
+                part = jax.lax.dot_general(
+                    xin, wt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                lo, hi = j * tile, (j + 1) * tile
+                parts.append(part * s_seg[:, lo:hi] + b_seg[:, lo:hi])
+            return jnp.concatenate(parts, axis=1)     # (WP, n_out) f32
+
+        # Prime layer 0.
+        sm_dma(jnp.int32(0)).start()
+        cdma(qkvw, bufA, semA, jnp.int32(0), 0, TQ).start()
+        sk_dma(jnp.int32(0)).start()
+        sv_dma(jnp.int32(0)).start()
+
+        smask = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) < pos
+        pad_rows = jnp.zeros((WP - W, D), f32) if WP > W else None
+
+        def layer_body(l, x):
+            slot = jax.lax.rem(l, 2)
+            sm_dma(l).wait()
+            sm = smb[slot]
+
+            def seg(name):
+                off, width = offs[name]
+                return sm[:, off:off + width]
+
+            # Phase 1: ln1 + fused qkv.
+            q_in = ln(x, seg("ln1_s"), seg("ln1_b"))
+            qkv = gemm_col(
+                l, q_in, qkvw, bufA, semA, D3, TQ, seg("qkv_s"),
+                seg("qkv_b"),
+                chain=lambda: cdma(ow, bufO, semO, l, 0, TD).start(),
+            ).astype(bf16)
+            q, kc, vc = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+            ko[pl.ds(l, 1)] = kc[None]
+            vo[pl.ds(l, 1)] = vc[None]
+
+            # Phase 2: self-attention. Each query row r sees cache slots
+            # < pos (slots >= window start are stale — decoder_verify's
+            # cache_mask) plus in-window keys j <= r. Rows are unrolled:
+            # attention math is tiny next to the shared weight stream.
+            sk_dma(l).wait()
+            sv_dma(l).wait()
+            qsc = (q.astype(f32) * scale).astype(bf16)   # (WP, D)
+            vc32 = vc.astype(f32)
+            sv32 = svb[...].astype(f32)
+            rows = []
+            for r in range(W):
+                qr = qsc[r:r + 1]                         # (1, D)
+                lgs = jax.lax.dot_general(                # (S, HP)
+                    skb[...] * qr, sel_ref[...],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+                lgs = jnp.where(smask, lgs, _NEG)
+                lw = jax.lax.dot_general(                 # (WP, HP)
+                    kc * qr, sel_ref[...],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+                wmask = jax.lax.broadcasted_iota(
+                    jnp.int32, (WP, 1), 0) <= r
+                lw = jnp.where(wmask, lw, _NEG)
+                m = jnp.maximum(jnp.max(lgs, axis=0, keepdims=True),
+                                jnp.max(lw, axis=0, keepdims=True))
+                e = jnp.where(smask, jnp.exp(lgs - m), 0.0)
+                ew = jnp.where(wmask, jnp.exp(lw - m), 0.0)
+                z = (jnp.sum(e, axis=0, keepdims=True)
+                     + jnp.sum(ew, axis=0, keepdims=True))
+                pe = jax.lax.dot_general(                 # (S, D)
+                    (e / z).astype(bf16), selt_ref[...],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+                a_r = jnp.sum(pe * sv32, axis=0, keepdims=True)
+                pw = jax.lax.dot_general(                 # (WP, D)
+                    (ew / z).astype(bf16), selt_ref[...],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+                a_r = a_r + jnp.sum(pw * vc32, axis=0, keepdims=True)
+                rows.append(a_r)
+            if pad_rows is not None:
+                rows.append(pad_rows)
+            attn = jnp.concatenate(rows, axis=0).astype(bf16)
+
+            # Phase 3: self out-projection.
+            o_out = gemm_col(
+                l, attn, ow, bufO, semO, D, TD, seg("o_s"), seg("o_b"),
+                chain=lambda: cdma(cqw, bufQ, semQ, l, 0, TD).start())
+            x = x + o_out.astype(bf16)
+
+            # Phase 4: cross query projection; chain primes K AND V tile
+            # 0 (flash streams them together).
+            def start_kv0():
+                rdma(ckc, bufK, semK, l, 0, TC).start()
+                rdma(cvc, bufV, semV, l, 0, TC).start()
+
+            c_in = ln(x, seg("lnc_s"), seg("lnc_b"))
+            cq = gemm_col(
+                l, c_in, cqw, bufQ, semQ, D, TD, seg("cq_s"), seg("cq_b"),
+                chain=start_kv0)
+            cqs = (cq * cks_ref[l] * scale).astype(bf16)  # (WP, D)
+
+            # Phase 5: flash cross-attention — one pass over K/V row
+            # tiles with per-row running (max, sum, accumulator).
+            ms = [jnp.full((1, _HP), _NEG, f32) for _ in range(W)]
+            zs = [jnp.zeros((1, _HP), f32) for _ in range(W)]
+            accs = [jnp.zeros((1, D), f32) for _ in range(W)]
+            for j in range(NTC):
+                if j + 1 < NTC:
+                    rdma(ckc, bufK, semK, l, j + 1, TC).start()
+                    rdma(cvc, bufV, semV, l, j + 1, TC).start()
+                else:
+                    cdma(cow, bufB, semB, l, 0, TD).start()
+                rdma(ckc, bufK, semK, l, j, TC).wait()
+                rdma(cvc, bufV, semV, l, j, TC).wait()
+                kt = bufK[j % 2].astype(bf16)             # (TC, D)
+                vt32 = bufV[j % 2].astype(bf16).astype(f32)
+                tmask = (jax.lax.broadcasted_iota(jnp.int32, (TC, 1), 0)
+                         + j * TC) < t_enc
+                for r in range(W):
+                    lg = jax.lax.dot_general(             # (TC, HP)
+                        kt * cqs[r:r + 1], sel_ref[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    lg = jnp.where(tmask, lg, _NEG)
+                    mn = jnp.maximum(ms[r],
+                                     jnp.max(lg, axis=0, keepdims=True))
+                    alpha = jnp.exp(ms[r] - mn)           # (1, HP)
+                    e = jnp.where(tmask, jnp.exp(lg - mn), 0.0)
+                    zs[r] = zs[r] * alpha + jnp.sum(e, axis=0,
+                                                    keepdims=True)
+                    pex = jax.lax.dot_general(            # (TC, D)
+                        e.astype(bf16), selt_ref[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    contrib = jnp.sum(pex * vt32, axis=0, keepdims=True)
+                    alpha_d = jax.lax.dot_general(        # (1, D)
+                        alpha.astype(bf16), selt_ref[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    accs[r] = accs[r] * alpha_d + contrib
+                    ms[r] = mn
+            rows = []
+            for r in range(W):
+                inv_d = jax.lax.dot_general(              # (1, D)
+                    (1.0 / zs[r]).astype(bf16), selt_ref[...],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+                rows.append(accs[r] * inv_d)
+            if pad_rows is not None:
+                rows.append(pad_rows)
+            c_mrg = (jnp.concatenate(rows, axis=0)
+                     * cvs_ref[l]).astype(bf16)           # (WP, D)
+
+            # Phase 6: cross out-projection.
+            co_out = gemm_col(
+                l, c_mrg, cow, bufB, semB, D, TD, seg("co_s"), seg("co_b"),
+                chain=lambda: cdma(fc1w, buf1, sem1, l, 0, TF).start())
+            x = x + co_out.astype(bf16)
+
+            # Phase 7: MLP fc1 (+ prefetch next layer's smalls/self K/V).
+            def prefetch_next():
+                @pl.when(l + 1 < L)
+                def _():
+                    sm_dma(l + 1).start()
+                    sk_dma(l + 1).start()
+                    sv_dma(l + 1).start()
+
+            m_in = ln(x, seg("ln2_s"), seg("ln2_b"))
+            h = gemm_col(
+                l, m_in, fc1w, buf1, sem1, F, TF, seg("fc1_s"),
+                seg("fc1_b"),
+                chain=lambda: rdma(fc2w, buf2, sem2, l, 0, TCF).start(),
+                at_first=prefetch_next)
+            h = jax.nn.gelu(h.astype(bf16), approximate=True)
+
+            # Phase 8: MLP fc2, row-tiled accumulation.
+            nt2 = F // TCF
+            acc = jnp.zeros((WP, D), f32)
+            for j in range(nt2):
+                if j + 1 < nt2:
+                    rdma(fc2w, buf2, sem2, l, j + 1, TCF).start()
+                else:
+                    @pl.when(l + 1 < L)
+                    def _():
+                        cdma(qkvw, bufA, semA, l + 1, 0, TQ).start()
+                rdma(fc2w, buf2, sem2, l, j, TCF).wait()
+                wt = buf2[j % 2].astype(bf16)
+                hj = h[:, j * TCF:(j + 1) * TCF]
+                acc = acc + jax.lax.dot_general(
+                    hj, wt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+            y = acc * seg("fc2_s") + seg("fc2_b")
+            return x + y.astype(bf16)
+
+        x = jax.lax.fori_loop(0, L, layer_body, x_ref[...])
+        x = ln(x, lnp_ref[0:1], lnp_ref[1:2])
+        xo[...] = x
+
+        # Phase 9: tied-embedding logits over the transposed table.
+        edma(0).start()
+        esdma(0).start()
+        ntv = V_pad // TV
+        for j in range(ntv):
+            if j + 1 < ntv:
+                edma(j + 1).start()
+                esdma(j + 1).start()
+            edma(j).wait()
+            esdma(j).wait()
+            wt = bufE[j % 2].astype(bf16)
+            part = jax.lax.dot_general(
+                x, wt, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            lgo[:, pl.ds(j * TV, TV)] = part * bufEs[j % 2]
+
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    hbm = functools.partial(pl.BlockSpec, memory_space=pltpu.HBM)
+    i8 = jnp.int8
+
+    @jax.jit
+    def run(x, pos, sel, selt, lnp, cks, cvs, smalls, qkvw, ow, cqw, cow,
+            fc1w, fc2w, skc, svc, ckc, cvc, embt, embs):
+        out_shapes = [
+            jax.ShapeDtypeStruct((WP, D), bf16),          # xo
+            jax.ShapeDtypeStruct((L, WP, D), bf16),       # ko
+            jax.ShapeDtypeStruct((L, WP, D), bf16),       # vo
+            jax.ShapeDtypeStruct((WP, V_pad), f32),       # lgo
+        ]
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # pos
+                vmem(),                                   # x
+                vmem(), vmem(), vmem(), vmem(), vmem(),
+                hbm(), hbm(), hbm(), hbm(), hbm(),
+                hbm(), hbm(),
+                hbm(), hbm(), hbm(), hbm(),
+                hbm(), hbm(),                             # embt, embs
+            ],
+            out_specs=[vmem(), vmem(), vmem(), vmem()],
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, NS), f32),              # smb
+                pltpu.VMEM((S, D), bf16),                 # skb
+                pltpu.VMEM((S, D), bf16),                 # svb
+                pltpu.VMEM((2, D, TQ), i8),               # bufA
+                pltpu.VMEM((2, D, TD), i8),               # bufO
+                pltpu.VMEM((2, D, TD), i8),               # bufQ
+                pltpu.VMEM((2, D, TD), i8),               # bufB
+                pltpu.VMEM((2, TC, D), i8),               # bufK
+                pltpu.VMEM((2, TC, D), i8),               # bufV
+                pltpu.VMEM((2, D, TF), i8),               # buf1
+                pltpu.VMEM((2, TCF, D), i8),              # buf2
+                pltpu.VMEM((2, D, TV), i8),               # bufE
+                pltpu.VMEM((2, 1, TV), f32),              # bufEs
+                pltpu.SemaphoreType.DMA((2,)),            # semA
+                pltpu.SemaphoreType.DMA((2,)),            # semO
+                pltpu.SemaphoreType.DMA((2,)),            # semQ
+                pltpu.SemaphoreType.DMA((2,)),            # semB
+                pltpu.SemaphoreType.DMA((2,)),            # semK
+                pltpu.SemaphoreType.DMA((2,)),            # semV
+                pltpu.SemaphoreType.DMA((2,)),            # sem1
+                pltpu.SemaphoreType.DMA((2,)),            # sem2
+                pltpu.SemaphoreType.DMA((2,)),            # semE
+                pltpu.SemaphoreType.DMA((2,)),            # semEs
+                pltpu.SemaphoreType.DMA,                  # semSK
+                pltpu.SemaphoreType.DMA,                  # semSV
+                pltpu.SemaphoreType.DMA((2,)),            # semSM
+            ],
+            interpret=interpret,
+        )(jnp.reshape(pos, (1,)).astype(jnp.int32), x, sel, selt, lnp,
+          cks, cvs, smalls, qkvw, ow, cqw, cow, fc1w, fc2w, skc, svc,
+          ckc, cvc, embt, embs)
+
+    return run
+
+
+def mega_decoder_verify(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,           # (1, W) int32 window
+    position: jnp.ndarray,         # scalar int32: cache slot of tokens[0, 0]
+    self_k: jnp.ndarray,           # (L, S, D) slot-major
+    self_v: jnp.ndarray,
+    cross: MegaCrossKV,
+    arch: WhisperArch,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """One speculative-verify window through the verify megakernel.
+
+    Same contract as ``models.whisper.decoder_verify`` at bs=1 modulo the
+    slot-major cache layout: returns (logits (1, W, V) f32,
+    (new_self_k, new_self_v), align). Alignment capture is NOT supported
+    (the flash-style cross pass never materializes the full prob map);
+    the returned align is zeros and callers must route alignment-needing
+    decodes to the XLA verify.
+    """
+    from thewhisper_tpu.models.whisper import _token_table_lookup
+
+    dec = params["decoder"]
+    mega = dec[MEGA_KEY]
+    L, S, D = self_k.shape
+    W = tokens.shape[1]
+    WP = _pad_up(max(W, 2), 8)
+    T_pad = cross.k.shape[1]
+    V = dec["token_emb"]["q"].shape[0]
+    V_pad = mega["embt"].shape[1]
+    n_align = max(1, len(arch.alignment_heads))
+
+    emb = _token_table_lookup(dec["token_emb"], tokens, jnp.bfloat16)[0]
+    rows = position + jnp.arange(W)                          # window slots
+    emb_rows = jnp.clip(rows, 0, dec["pos_emb"].shape[0] - 1)
+    x = emb + dec["pos_emb"][emb_rows].astype(jnp.bfloat16)  # (W, D)
+    if WP > W:
+        x = jnp.pad(x, ((0, WP - W), (0, 0)))
+
+    fn = _build_mega_verify_fn(L, D, arch.d_ff, arch.decoder_heads, S,
+                               T_pad, cross.t_enc, V, V_pad, W, WP,
+                               _interpret())
+    sa = dec["layers"]["self"]
+    ca = dec["layers"]["cross"]
+    mlp = dec["layers"]["mlp"]
+    xo, ko, vo, lgo = fn(
+        x, position, mega["sel"], mega["selt"], mega["lnp"], cross.ks,
+        cross.vs, mega["smalls"], sa["qkv_w"]["q"], sa["o_w"]["q"],
+        ca["q_w"]["q"], ca["o_w"]["q"], mlp["fc1_w"]["q"],
+        mlp["fc2_w"]["q"], self_k, self_v, cross.k, cross.v,
+        mega["embt"], mega["embs"])
+
+    # Window cache write: one-hot contraction in XLA (exact select at
+    # HIGHEST — the _stack_verify pattern; per-row slots pos..pos+W-1).
+    oh = (rows[:, None] == jnp.arange(S)[None, :]).astype(self_k.dtype)
+    kw = ko[:, :W].astype(self_k.dtype)                      # (L, W, D)
+    vw = vo[:, :W].astype(self_v.dtype)
+    upd_k = jnp.einsum("lwd,ws->lsd", kw, oh,
+                       precision=jax.lax.Precision.HIGHEST)
+    upd_v = jnp.einsum("lwd,ws->lsd", vw, oh,
+                       precision=jax.lax.Precision.HIGHEST)
+    written = jnp.any(oh > 0, axis=0)[None, :, None]         # (1, S, 1)
+    new_k = jnp.where(written, upd_k.astype(self_k.dtype), self_k)
+    new_v = jnp.where(written, upd_v.astype(self_v.dtype), self_v)
+
+    logits = lgo[:W, :V][None]                               # (1, W, V)
+    align = jnp.zeros((1, W, n_align, cross.t_enc), jnp.float32)
     return logits, (new_k, new_v), align
