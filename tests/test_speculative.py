@@ -388,6 +388,29 @@ def test_engine_speculative_matches_plain(tiny):
     assert rb.tokens.shape[0] == 2
 
 
+def test_engine_draft_int8_matches_plain(tiny):
+    """draft_int8=True quantizes only the DRAFT — speculative output is
+    greedy-equivalent for any draft, so tokens must be identical."""
+    arch, params = tiny
+    draft_params, draft_arch = make_layer_skip_draft(params, arch, 2)
+    plain = WhisperEngine(params, arch, special=SP, batch_buckets=(2,))
+    spec = WhisperEngine(params, arch, special=SP, batch_buckets=(2,),
+                         draft_params=draft_params, draft_arch=draft_arch,
+                         spec_window=W, draft_int8=True)
+    # The engine's draft decoder really is int8 ({"q","s"} leaves).
+    dw = spec.draft_params["decoder"]["layers"]["mlp"]["fc1_w"]
+    assert isinstance(dw, dict) and set(dw) == {"q", "s"}
+    mel = np.random.default_rng(8).standard_normal(
+        (2, arch.n_mels, 100)).astype(np.float32)
+    opts = GenerationOptions(max_new_tokens=10, language="en")
+    a = plain.transcribe_features(mel, opts)
+    b = spec.transcribe_features(mel, opts)
+    np.testing.assert_array_equal(a.num_generated, b.num_generated)
+    for i, n in enumerate(a.num_generated):
+        upto = a.prompt_len + int(n)
+        np.testing.assert_array_equal(b.tokens[i, :upto], a.tokens[i, :upto])
+
+
 def test_speculative_with_int8_cross_kv(tiny):
     """Speculation composes with the int8 cross-KV cache ('S' default)."""
     arch, params = tiny

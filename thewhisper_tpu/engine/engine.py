@@ -122,6 +122,7 @@ class WhisperEngine:
         draft_arch: Optional[WhisperArch] = None,
         spec_window: int = 4,
         spec_ngram: bool = False,
+        draft_int8: bool = False,
         mesh: Optional[Any] = None,
         megakernel: bool = True,
     ):
@@ -160,6 +161,18 @@ class WhisperEngine:
             # target's encoder states are shared) — don't ship a distil
             # checkpoint's encoder weights to HBM.
             draft_params = {"decoder": draft_params["decoder"]}
+            if draft_int8:
+                # Draft steps dominate the speculative round on deep
+                # targets (W+1 shallow-decoder passes per round); an
+                # int8-S draft steps ~30-40% faster (the same weight-only
+                # win as the target's S path) at negligible acceptance
+                # cost — the draft is already an approximation of the
+                # target. Opt-in: tools/lv3_spec_e2e_probe.py / bench.py
+                # measure the acceptance/latency trade.
+                from thewhisper_tpu.models.quant import quantize_params
+
+                draft_params = quantize_params(
+                    draft_params, components=("decoder",))
             if mesh is None:
                 from thewhisper_tpu.models.whisper import (
                     fuse_self_qkv_params,
@@ -1153,10 +1166,16 @@ class WhisperEngine:
                 gc = json.load(f)
             suppress = gc.get("suppress_tokens", []) or []
             begin = gc.get("begin_suppress_tokens", []) or []
+        s_mode = quantize in ("int8", "int8-weights", "int8-all", "int4")
         return WhisperEngine(
             params, arch, compute_dtype=compute_dtype,
             suppress_tokens=suppress, begin_suppress_tokens=begin,
-            cross_kv_int8=(quantize in ("int8", "int8-weights", "int8-all",
-                                        "int4")),
+            cross_kv_int8=s_mode,
             draft_params=draft_params, draft_arch=draft_arch,
-            spec_window=spec_window, spec_ngram=spec_ngram)
+            spec_window=spec_window, spec_ngram=spec_ngram,
+            # S engine -> S draft: layer-skip drafts slice the already-
+            # quantized target and are int8 for free; quantize distilled
+            # .npz / external-checkpoint drafts to match (weight-only
+            # int8 steps ~30-40% faster; output tokens are draft-
+            # independent, only acceptance — i.e. speed — can shift).
+            draft_int8=s_mode)
