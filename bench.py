@@ -737,7 +737,8 @@ def main():
             eng_spd = WhisperEngine(
                 params_xl, arch_xl, compute_dtype=compute_dtype,
                 batch_buckets=(1,), suppress_tokens=[SpecialTokens().eot],
-                draft_params=dp2, draft_arch=d_arch2, spec_window=4)
+                draft_params=dp2, draft_arch=d_arch2, spec_window=4,
+                draft_int8=True)
             eng_spd.transcribe_features(mel, short_opts)
             eng_spd.transcribe_features(mel, long_opts)
             P_s4, P_l4, N_s4, N_l4 = [], [], [], []

@@ -190,6 +190,14 @@ def pack_mega_params(params: Dict[str, Any], arch: WhisperArch) -> Dict[str, Any
 
     mega = {
         "smalls": smalls,
+        # 8-row replicated copy for the W-row VERIFY kernel: Mosaic
+        # rejects vector.broadcast of a LANE-OFFSET (1, width) slice to
+        # (8, width) ("Invalid input layout"), and every seg() slice of
+        # the packed row is lane-offset. Replicating host-side makes all
+        # scale/bias applications same-shape elementwise ops (proven
+        # supported at offset layouts by the step kernel). ~37 MB HBM on
+        # large-v3; the step kernel keeps streaming the 1-row original.
+        "smalls8": jnp.tile(smalls, (1, 8, 1)),
         "sel": jnp.asarray(sel, jnp.bfloat16),
         "selt": jnp.asarray(sel.T, jnp.bfloat16),
         "asel": jnp.asarray(asel),
@@ -692,12 +700,15 @@ def _build_mega_verify_fn(L: int, D: int, F: int, H: int, S: int,
     scale = float(dh) ** -0.5
     D3 = 3 * D
     NS = 20 * D + 2 * F
-    TQ = _pick_tile(D3, 512)
+    # Tighter tile caps than the step kernel: the verify kernel spends
+    # its VMEM headroom on the 8-row smalls copy, the W-row outputs and
+    # the per-row attention transients (first attempt OOMed vmem).
+    TQ = _pick_tile(D3, 256)
     TD = _pick_tile(D, 256)
     TC = 256
     TCF = _pick_tile(F, 256)
     TF = _pick_tile(F, 256)
-    TV = 512
+    TV = 256
     assert T_pad % TC == 0 and V_pad % TV == 0
     NTC = T_pad // TC
     f32, bf16 = jnp.float32, jnp.bfloat16
@@ -793,14 +804,24 @@ def _build_mega_verify_fn(L: int, D: int, F: int, H: int, S: int,
         smask = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) < pos
         pad_rows = jnp.zeros((WP - W, D), f32) if WP > W else None
 
+        # Canonical-layout copy of row r of a (WP, d) value: a one-hot
+        # sublane reduction (exact — the mask is 0/1). Direct x[r:r+1]
+        # slices carry a sublane-offset layout that Mosaic refuses to
+        # broadcast ("Invalid input layout"), same class as the seg()
+        # lane-offset issue smalls8 solves.
+        def row1(x, r):
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (WP, 1), 0)
+                  == r).astype(x.dtype)
+            return jnp.sum(x * oh, axis=0, keepdims=True)
+
         def layer_body(l, x):
             slot = jax.lax.rem(l, 2)
             sm_dma(l).wait()
-            sm = smb[slot]
+            sm = smb[slot]                              # (8, NS)
 
             def seg(name):
                 off, width = offs[name]
-                return sm[:, off:off + width]
+                return sm[:, off:off + width]           # (8, width)
 
             # Phase 1: ln1 + fused qkv.
             q_in = ln(x, seg("ln1_s"), seg("ln1_b"))
@@ -824,7 +845,7 @@ def _build_mega_verify_fn(L: int, D: int, F: int, H: int, S: int,
             sv32 = svb[...].astype(f32)
             rows = []
             for r in range(W):
-                qr = qsc[r:r + 1]                         # (1, D)
+                qr = row1(qsc, r)                         # (1, D)
                 lgs = jax.lax.dot_general(                # (S, HP)
                     skb[...] * qr, sel_ref[...],
                     (((1,), (0,)), ((), ())), preferred_element_type=f32)
@@ -871,6 +892,7 @@ def _build_mega_verify_fn(L: int, D: int, F: int, H: int, S: int,
                 l, c_in, cqw, bufQ, semQ, D, TD, seg("cq_s"), seg("cq_b"),
                 chain=start_kv0)
             cqs = (cq * cks_ref[l] * scale).astype(bf16)  # (WP, D)
+            cq_rows = [row1(cqs, r) for r in range(W)]
 
             # Phase 5: flash cross-attention — one pass over K/V row
             # tiles with per-row running (max, sum, accumulator).
@@ -891,7 +913,7 @@ def _build_mega_verify_fn(L: int, D: int, F: int, H: int, S: int,
                          + j * TC) < t_enc
                 for r in range(W):
                     lg = jax.lax.dot_general(             # (TC, HP)
-                        kt * cqs[r:r + 1], sel_ref[...],
+                        kt * cq_rows[r], sel_ref[...],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=f32)
                     lg = jnp.where(tmask, lg, _NEG)
@@ -965,7 +987,10 @@ def _build_mega_verify_fn(L: int, D: int, F: int, H: int, S: int,
             return x + y.astype(bf16)
 
         x = jax.lax.fori_loop(0, L, layer_body, x_ref[...])
-        x = ln(x, lnp_ref[0:1], lnp_ref[1:2])
+        # lnp arrives (2, 1, D): leading-axis indexing yields canonical
+        # (1, D) rows (a [1:2] slice of (2, D) would carry a sublane
+        # offset Mosaic can't broadcast over the W rows).
+        x = ln(x, lnp_ref[0], lnp_ref[1])
         xo[...] = x
 
         # Phase 9: tied-embedding logits over the transposed table.
@@ -1010,7 +1035,7 @@ def _build_mega_verify_fn(L: int, D: int, F: int, H: int, S: int,
             ],
             out_specs=[vmem(), vmem(), vmem(), vmem()],
             scratch_shapes=[
-                pltpu.VMEM((2, 1, NS), f32),              # smb
+                pltpu.VMEM((2, 8, NS), f32),              # smb
                 pltpu.VMEM((S, D), bf16),                 # skb
                 pltpu.VMEM((S, D), bf16),                 # svb
                 pltpu.VMEM((2, D, TQ), i8),               # bufA
@@ -1088,9 +1113,15 @@ def mega_decoder_verify(
     sa = dec["layers"]["self"]
     ca = dec["layers"]["cross"]
     mlp = dec["layers"]["mlp"]
+    # Packed-aux back-compat: trees packed before the verify kernel
+    # existed lack smalls8 (session-lifetime only, but cheap to honor).
+    smalls8 = mega.get("smalls8")
+    if smalls8 is None:
+        smalls8 = jnp.tile(mega["smalls"], (1, 8, 1))
     xo, ko, vo, lgo = fn(
-        x, position, mega["sel"], mega["selt"], mega["lnp"], cross.ks,
-        cross.vs, mega["smalls"], sa["qkv_w"]["q"], sa["o_w"]["q"],
+        x, position, mega["sel"], mega["selt"],
+        mega["lnp"][:, None], cross.ks,
+        cross.vs, smalls8, sa["qkv_w"]["q"], sa["o_w"]["q"],
         ca["q_w"]["q"], ca["o_w"]["q"], mlp["fc1_w"]["q"],
         mlp["fc2_w"]["q"], self_k, self_v, cross.k, cross.v,
         mega["embt"], mega["embs"])

@@ -38,7 +38,9 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=32)
-    ap.add_argument("--slots", type=int, default=448)
+    ap.add_argument("--slots", type=int, default=256,
+                    help="cache slots (production spec sizing is "
+                         "prompt+max_new+W+1, ~240 for 224-token windows)")
     ap.add_argument("--window", type=int, default=5,
                     help="verify window W (spec_window + 1)")
     ap.add_argument("--steps", type=int, default=16)
@@ -103,14 +105,19 @@ def main():
     pos = args.prompt
     window = jnp.asarray([[100 + 13 * i for i in range(w)]], jnp.int32)
 
-    # --- numerics ------------------------------------------------------
+    # --- numerics (params/cache as jit ARGS, like mega_step_probe) ------
+    posv = jnp.asarray([pos], jnp.int32)
     lg_r, cache_r, _ = jax.jit(
-        lambda: decoder_verify(params, window,
-                               jnp.asarray([pos], jnp.int32), cache, arch,
-                               jnp.bfloat16))()
+        lambda p, t, q, c: decoder_verify(p, t, q, c, arch, jnp.bfloat16)
+    )(params, window, posv, cache)
+    jax.block_until_ready(lg_r)
+    log("xla verify numerics done")
     lg_m, (sk1, sv1), _ = jax.jit(
-        lambda: mega_decoder_verify(params, window, jnp.int32(pos), sk, sv,
-                                    cross, arch))()
+        lambda p, t, q, k, v: mega_decoder_verify(p, t, q, k, v, cross,
+                                                  arch)
+    )(params, window, jnp.int32(pos), sk, sv)
+    jax.block_until_ready(lg_m)
+    log("mega verify numerics done")
     lr = np.asarray(lg_r, np.float32)
     lm = np.asarray(lg_m, np.float32)
     rel = np.abs(lr - lm).max() / max(np.abs(lr).max(), 1e-6)
