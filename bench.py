@@ -569,6 +569,7 @@ def main():
     from thewhisper_tpu.models.whisper import init_params_device
 
     lv3_tok_s = lv3_ttft = lv3_ttft_ex = lv3_rtfx_lf = None
+    lv3_tok_s_xla = lv3_mega_speedup = None
     lv3_spec_tok_s = lv3_spec_tpr = None
     lv3_specd_tok_s = lv3_specd_tpr = lv3_rtfx_lf_spec = None
     try:
@@ -579,18 +580,50 @@ def main():
         params_xl = quantize_params(
             init_params_device(arch_xl, seed=0, dtype=compute_dtype),
             components=("decoder",))
+        # int8 cross-KV so the decode/verify megakernels actually run in
+        # the headline (VERDICT r4 weak #1: round 4 built them but every
+        # lv3 bench engine omitted cross_kv_int8, so the recorded number
+        # was still the rolled XLA step).
         eng_xl = WhisperEngine(
             params_xl, arch_xl, compute_dtype=compute_dtype,
-            batch_buckets=(1,), suppress_tokens=[SpecialTokens().eot])
-        log("compiling large-v3 programs (1/16/144 tok)...")
+            batch_buckets=(1,), cross_kv_int8=True,
+            suppress_tokens=[SpecialTokens().eot])
+        log("compiling large-v3 programs (1/16/144 tok, megakernel)...")
         eng_xl.transcribe_features(mel_dev, one_opts)
         eng_xl.transcribe_features(mel, short_opts)
         eng_xl.transcribe_features(mel, long_opts)
-        t_s_xl, r_s_xl = timed(short_opts, iters=6, eng=eng_xl)
-        t_l_xl, r_l_xl = timed(long_opts, iters=6, eng=eng_xl)
-        lv3_tok_s = (int(r_l_xl.num_generated[0])
-                     - int(r_s_xl.num_generated[0])
-                     ) / max(t_l_xl - t_s_xl, 1e-9)
+        # Megakernel ON/OFF A/B, interleaved in ONE window (the tunnel
+        # drifts minute to minute — sequential blocks lie; CLAUDE.md).
+        # The OFF arm is the same int8-cross-KV engine minus the packed
+        # aux leaves, i.e. the rolled XLA step round 4 recorded.
+        eng_xl_off = WhisperEngine(
+            params_xl, arch_xl, compute_dtype=compute_dtype,
+            batch_buckets=(1,), cross_kv_int8=True, megakernel=False,
+            suppress_tokens=[SpecialTokens().eot])
+        log("compiling the megakernel-OFF arm (16/144 tok)...")
+        eng_xl_off.transcribe_features(mel, short_opts)
+        eng_xl_off.transcribe_features(mel, long_opts)
+        A_s, A_l, B_s, B_l = [], [], [], []
+        r_s_xl = r_l_xl = None
+        for _ in range(6):
+            t0 = time.perf_counter()
+            eng_xl_off.transcribe_features(mel, short_opts)
+            B_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            eng_xl_off.transcribe_features(mel, long_opts)
+            B_l.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            r_s_xl = eng_xl.transcribe_features(mel, short_opts)
+            A_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            r_l_xl = eng_xl.transcribe_features(mel, long_opts)
+            A_l.append(time.perf_counter() - t0)
+        emitted_xl = (int(r_l_xl.num_generated[0])
+                      - int(r_s_xl.num_generated[0]))
+        lv3_tok_s = emitted_xl / max(med(A_l) - med(A_s), 1e-9)
+        lv3_tok_s_xla = emitted_xl / max(med(B_l) - med(B_s), 1e-9)
+        lv3_mega_speedup = lv3_tok_s / max(lv3_tok_s_xla, 1e-9)
+        del eng_xl_off
         lts = []
         for _ in range(12):
             t0 = time.perf_counter()
@@ -598,9 +631,11 @@ def main():
             lts.append(time.perf_counter() - t0)
         lv3_ttft = statistics.median(lts)
         lv3_ttft_ex = max(lv3_ttft - rtt, 0.0)
-        log(f"large-v3 bs=1 int8-S: {lv3_tok_s:.1f} tok/s "
+        log(f"large-v3 bs=1 int8-S: {lv3_tok_s:.1f} tok/s megakernel "
             f"({lv3_tok_s / 220.0:.2f}x the reference claim on the SAME "
-            f"arch); TTFT {lv3_ttft*1e3:.1f} ms = {rtt*1e3:.1f} RTT + "
+            f"arch) vs {lv3_tok_s_xla:.1f} XLA step = "
+            f"{lv3_mega_speedup:.2f}x on-step, interleaved A/B; TTFT "
+            f"{lv3_ttft*1e3:.1f} ms = {rtt*1e3:.1f} RTT + "
             f"{lv3_ttft_ex*1e3:.1f} compute")
     except Exception as e:   # compile-heavy section: never sink the bench
         log(f"large-v3 section FAILED (continuing): {e!r}")
@@ -652,7 +687,8 @@ def main():
             d_params, d_arch = make_layer_skip_draft(params_xl, arch_xl, 4)
             eng_sp3 = WhisperEngine(
                 params_xl, arch_xl, compute_dtype=compute_dtype,
-                batch_buckets=(1,), suppress_tokens=[SpecialTokens().eot],
+                batch_buckets=(1,), cross_kv_int8=True,
+                suppress_tokens=[SpecialTokens().eot],
                 draft_params=d_params, draft_arch=d_arch, spec_window=4)
             log("compiling large-v3 layer-skip speculative programs...")
             eng_sp3.transcribe_features(mel, short_opts)
@@ -736,7 +772,8 @@ def main():
                 dstate.student)
             eng_spd = WhisperEngine(
                 params_xl, arch_xl, compute_dtype=compute_dtype,
-                batch_buckets=(1,), suppress_tokens=[SpecialTokens().eot],
+                batch_buckets=(1,), cross_kv_int8=True,
+                suppress_tokens=[SpecialTokens().eot],
                 draft_params=dp2, draft_arch=d_arch2, spec_window=4,
                 draft_int8=True)
             eng_spd.transcribe_features(mel, short_opts)
@@ -1034,6 +1071,8 @@ def main():
         **put("lv3_decode_tok_s", lv3_tok_s),
         **({"lv3_vs_ref_same_arch": round(lv3_tok_s / 220.0, 3)}
            if lv3_tok_s is not None else {}),
+        **put("lv3_decode_tok_s_xla", lv3_tok_s_xla),
+        **put("lv3_mega_speedup", lv3_mega_speedup, 1.0, 3),
         **put("lv3_ttft_ms", lv3_ttft, 1e3),
         **put("lv3_ttft_ex_rtt_ms", lv3_ttft_ex, 1e3),
         **put("lv3_rtfx_bs1_longform", lv3_rtfx_lf),

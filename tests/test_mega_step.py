@@ -195,6 +195,34 @@ def test_speculative_token_parity(setup, monkeypatch, mode):
                        np.asarray(got.sum_logprob), atol=0.3)
 
 
+def test_speculative_wide_window(setup, monkeypatch):
+    """spec_window=8 (W+1=9 -> WP=16) through the verify megakernel:
+    the kernel's scale rows must tile to the padded window width
+    (ADVICE r4: the 8-row-fixed kernel crashed at trace for w+1 > 8)."""
+    from thewhisper_tpu.engine.speculative import speculative_decode
+    from thewhisper_tpu.models.whisper import make_cache as mk
+
+    params, _, prompt = setup
+    rng = np.random.default_rng(0)
+    enc_out = jnp.asarray(rng.standard_normal((1, 96, 384)), jnp.bfloat16)
+    ck, cv = compute_cross_kv(params, enc_out, ARCH)
+    cache = mk(ARCH, 1, 32, quantize_kv(ck), quantize_kv(cv),
+               dtype=jnp.bfloat16)
+    _, cache, _ = decoder_prefill(params, prompt, cache, ARCH, jnp.bfloat16)
+
+    kw = dict(params=params, arch=ARCH, draft_params=None, draft_arch=None,
+              prompt=prompt, draft_cache=None, max_new_tokens=8, eot=2,
+              spec_window=8, compute_dtype=jnp.bfloat16, ngram_draft=True)
+    monkeypatch.setenv("WHISPER_MEGAKERNEL", "0")
+    ref = speculative_decode(cache=cache, **kw)
+    monkeypatch.setenv("WHISPER_MEGAKERNEL", "interpret")
+    got = speculative_decode(cache=cache, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.num_generated),
+                                  np.asarray(got.num_generated))
+
+
 def test_engine_e2e_token_parity(monkeypatch):
     """WhisperEngine end-to-end: the packed megakernel program produces
     the same tokens as the XLA step program (cross_kv_int8 engine,

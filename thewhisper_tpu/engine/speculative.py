@@ -225,6 +225,7 @@ def speculative_decode(
     # those decodes stay on the XLA verify.
     from thewhisper_tpu.ops.mega_step import (
         MEGA_KEY,
+        ensure_verify_smalls,
         mega_decoder_verify,
         mega_enabled,
         mega_pays,
@@ -232,15 +233,24 @@ def speculative_decode(
     )
 
     dec_tree = params.get("decoder") if isinstance(params, dict) else None
+    # w + 1 <= 16 bounds the kernel's VMEM row transients (two sublane
+    # tiles); wider windows fall back to the XLA verify instead of
+    # risking a vmem OOM at compile (ADVICE r4: the old unguarded path
+    # crashed at trace for w + 1 > 8).
     use_mega = (b == 1
                 and compute_dtype == jnp.bfloat16
                 and not capture_alignment
+                and w + 1 <= 16
                 and isinstance(dec_tree, dict) and MEGA_KEY in dec_tree
                 and isinstance(cache.cross_k, dict)
                 and mega_pays(arch)
                 and mega_enabled())
     if use_mega:
         t_self_k0, t_self_v0, mega_cross = prepare_mega_cache(cache)
+        # Hoist the (L, WP, NS) scale tile OUT of the while_loop: done
+        # here it is a loop-invariant closure constant; left to the
+        # kernel's fallback it re-materializes every verify round.
+        params = ensure_verify_smalls(params, w + 1)
     else:
         t_self_k0, t_self_v0, mega_cross = cache.self_k, cache.self_v, None
 

@@ -258,6 +258,29 @@ def prepare_mega_cache(cache) -> Tuple[jnp.ndarray, jnp.ndarray, MegaCrossKV]:
     return sk, sv, MegaCrossKV(k_sm, v_sm, ks, vs, t)
 
 
+def ensure_verify_smalls(params: Dict[str, Any], window: int) -> Dict[str, Any]:
+    """Return ``params`` with the verify kernel's row-tiled scale copy
+    (``smalls8``) matching a ``window``-token verify pass.
+
+    mega_decoder_verify needs a physically (L, WP, NS)-tiled smalls
+    (WP = window padded to 8 sublanes); the pack ships WP=8. Callers
+    that verify inside a ``lax.while_loop`` MUST call this BEFORE the
+    loop — the in-kernel fallback tile would otherwise materialize
+    (L*WP*NS*4) bytes every round (ADVICE r4). Shallow-copies only the
+    dicts on the path; a no-op when the shipped tile already fits."""
+    wp = _pad_up(max(window, 2), 8)
+    dec = params.get("decoder") if isinstance(params, dict) else None
+    if not isinstance(dec, dict) or MEGA_KEY not in dec:
+        return params
+    mega = dec[MEGA_KEY]
+    s8 = mega.get("smalls8")
+    if s8 is not None and s8.shape[1] == wp:
+        return params
+    mega = dict(mega)
+    mega["smalls8"] = jnp.tile(mega["smalls"], (1, wp, 1))
+    return {**params, "decoder": {**dec, MEGA_KEY: mega}}
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -1035,7 +1058,7 @@ def _build_mega_verify_fn(L: int, D: int, F: int, H: int, S: int,
             ],
             out_specs=[vmem(), vmem(), vmem(), vmem()],
             scratch_shapes=[
-                pltpu.VMEM((2, 8, NS), f32),              # smb
+                pltpu.VMEM((2, WP, NS), f32),             # smb
                 pltpu.VMEM((S, D), bf16),                 # skb
                 pltpu.VMEM((S, D), bf16),                 # svb
                 pltpu.VMEM((2, D, TQ), i8),               # bufA
@@ -1113,11 +1136,15 @@ def mega_decoder_verify(
     sa = dec["layers"]["self"]
     ca = dec["layers"]["cross"]
     mlp = dec["layers"]["mlp"]
-    # Packed-aux back-compat: trees packed before the verify kernel
-    # existed lack smalls8 (session-lifetime only, but cheap to honor).
+    # The kernel broadcasts each per-layer scale row over the WP query
+    # rows by carrying a physically tiled (L, WP, NS) copy (Mosaic can't
+    # broadcast a lane-offset slice). pack_mega_params ships the WP=8
+    # tile; wider windows (and pre-verify-kernel trees) tile here — a
+    # caller inside a while_loop must hoist via ensure_verify_smalls or
+    # this materializes ~(L*WP*NS*4) bytes per round (ADVICE r4).
     smalls8 = mega.get("smalls8")
-    if smalls8 is None:
-        smalls8 = jnp.tile(mega["smalls"], (1, 8, 1))
+    if smalls8 is None or smalls8.shape[1] != WP:
+        smalls8 = jnp.tile(mega["smalls"], (1, WP, 1))
     xo, ko, vo, lgo = fn(
         x, position, mega["sel"], mega["selt"],
         mega["lnp"][:, None], cross.ks,
