@@ -85,7 +85,50 @@ def pctl(xs, q):
     return xs[min(int(q * len(xs)), len(xs) - 1)]
 
 
-def main():
+def load_headline_params(checkpoint, chunk_length_s, dtype, fallback_arch):
+    """Headline-model params: the real checkpoint when ``--checkpoint``
+    is given (routed through the same loader the ingest runbook uses,
+    tools/ingest_checkpoint.py), else random init on ``fallback_arch``
+    (throughput is weight-value-independent; no egress for real weights
+    in this environment — VERDICT r4 missing #2's mitigation).
+
+    Returns (params_bf16, arch). CI exercises this on the synthetic
+    checkpoint (tests/test_ingest_chain.py::test_bench_checkpoint_flag).
+    """
+    import dataclasses as _dc
+
+    if checkpoint:
+        from thewhisper_tpu.config import source_positions_for_seconds
+        from thewhisper_tpu.models.load import load_checkpoint
+
+        params_bf, arch = load_checkpoint(
+            checkpoint, dtype=dtype, chunk_length_s=chunk_length_s)
+        # Match arch to the resized position table (the bench's random
+        # path pins max_source_positions to the bucket the same way).
+        arch = arch.with_source_positions(
+            source_positions_for_seconds(chunk_length_s))
+        if not arch.alignment_heads:
+            arch = _dc.replace(arch,
+                               alignment_heads=fallback_arch.alignment_heads)
+        return params_bf, arch
+    from thewhisper_tpu.models.whisper import init_params
+
+    return init_params(fallback_arch, seed=0, dtype=dtype), fallback_arch
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="thewhisper-tpu benchmark")
+    ap.add_argument("--checkpoint", default=None,
+                    help="HF Whisper checkpoint dir for the headline "
+                         "(turbo-shaped) sections; default: random init")
+    ap.add_argument("--eval-manifest", default=None,
+                    help="JSONL manifest ({'audio': wav, 'text': str} "
+                         "rows): adds a WER eval through the benchmark "
+                         "harness to the output JSON")
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
@@ -127,7 +170,8 @@ def main():
     # below are therefore the bf16 (unquantized) TURBO engine;
     # whisper-large-v3 proper (the 220 tok/s README headline) reports
     # under lv3_*.
-    params_bf = init_params(arch, seed=0, dtype=compute_dtype)
+    params_bf, arch = load_headline_params(
+        args.checkpoint, 10.0, compute_dtype, arch)
     params = quantize_params(params_bf, components=("decoder",))
     engine = WhisperEngine(
         params, arch, compute_dtype=compute_dtype, batch_buckets=(1, 8),
@@ -522,15 +566,26 @@ def main():
     audio_pad[0, : len(buf)] = buf
     res_st = engine.transcribe_audio(audio_pad, stream_opts)  # compile
     # 400-tick soak (~25-30 s) for a stable tail; round-3 reported p95
-    # from 20 ticks and it ranged 68-121 ms across runs.
-    lat = []
-    for _ in range(400):
+    # from 20 ticks and it ranged 68-121 ms across runs. The tunnel RTT
+    # is re-measured INSIDE this window (round-4 review #2: p50 "rose"
+    # 61.6 -> 90.8 against an RTT measured ~20 min earlier at bench
+    # start; tools/stream_stage_probe.py reproduces 59-61 ms on the
+    # identical code in a fresh process, and 500 MB of upload aging
+    # moves nothing — the residual tracks the RTT at measurement time,
+    # so attribute against the in-window RTT, not the stale one).
+    lat, rtts_st = [], []
+    for i in range(400):
         t0 = time.perf_counter()
         engine.transcribe_audio(audio_pad, stream_opts)
         lat.append(time.perf_counter() - t0)
+        if i % 8 == 3:
+            t0 = time.perf_counter()
+            np.asarray(triv(z))
+            rtts_st.append(time.perf_counter() - t0)
     p50 = statistics.median(lat) * 1e3
     p95 = pctl(lat, 0.95) * 1e3
     p99 = pctl(lat, 0.99) * 1e3
+    stream_rtt = statistics.median(rtts_st)
     # Per-tick attribution: device-only time from a depth-4 async burst
     # (k dispatches + one final fetch ~ k*device + 1 RTT); host
     # postprocess = the alignment DTW + word grouping the streaming
@@ -556,8 +611,9 @@ def main():
     host_ms = (time.perf_counter() - t0) / 20 * 1e3
     log(f"p50/p95/p99 streaming chunk latency (9s buffer, 32 tok + align, "
         f"fused, 400 ticks): {p50:.1f} / {p95:.1f} / {p99:.1f} ms = "
-        f"~{rtt*1e3:.1f} tunnel RTT + ~{dev_ms:.1f} device + "
-        f"~{host_ms:.1f} host align post (residual: dispatch jitter)")
+        f"~{stream_rtt*1e3:.1f} in-window RTT + ~{dev_ms:.1f} device + "
+        f"~{host_ms:.1f} host align post + ~12 audio upload "
+        f"(640 KB/tick, tools/stream_stage_probe.py)")
 
     # --- large-v3 ("XL" family): the reference's 220 tok/s headline model --
     # README.md:19's claim is for whisper-large-v3 (32 decoder layers),
@@ -845,7 +901,8 @@ def main():
         ARCH_PRESETS["large-v3-turbo"],
         alignment_heads=((1, 0), (2, 3), (3, 7)))
     log("initializing 30 s bucket params for offline RTFx...")
-    params30_bf = init_params(arch30, seed=0, dtype=compute_dtype)
+    params30_bf, arch30 = load_headline_params(
+        args.checkpoint, 30.0, compute_dtype, arch30)
     params30 = quantize_params(params30_bf, components=("decoder",))
     eng32 = WhisperEngine(
         params30, arch30, compute_dtype=compute_dtype, batch_buckets=(32,),
@@ -875,6 +932,29 @@ def main():
     log(f"offline bs=32 (int8 cross-KV): {ms_step:.2f} ms/step, fixed "
         f"{fixed*1e3:.0f} ms -> RTFx {rtfx112:.0f} (112 steps) / "
         f"{rtfx224:.0f} (224 steps)")
+
+    # bs=32 TTFT, measured DIRECTLY (VERDICT r4 missing #1: the last
+    # published-table column with no TPU counterpart). The max_new=1
+    # program on device-resident audio = featurize + encode + prefill +
+    # first argmax for the whole batch — the time until the first token
+    # of every stream is available. Reference large-batch TTFT: L40S
+    # bs=32 S 0.3059 s (benchmark/README.md:113-120), H100 bs=64 0.3175
+    # (:136-143).
+    ttft32 = ttft32_ex = None
+    try:
+        one_b = GenerationOptions(max_new_tokens=1, language="en")
+        eng32.transcribe_audio(audio32, one_b)   # compile
+        bts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            eng32.transcribe_audio(audio32, one_b)
+            bts.append(time.perf_counter() - t0)
+        ttft32 = statistics.median(bts)
+        ttft32_ex = max(ttft32 - rtt, 0.0)
+        log(f"bs=32 TTFT: {ttft32*1e3:.1f} ms total = {rtt*1e3:.1f} RTT + "
+            f"{ttft32_ex*1e3:.1f} compute (ref L40S bs=32 S 305.9 ms)")
+    except Exception as e:
+        log(f"bs=32 TTFT FAILED (continuing): {e!r}")
 
     # --- MFU (achieved TFLOP/s / 197 v5e peak; round-3 review #6) -----------
     # Encoder: a bare bf16 encoder pass at bs=32 x 30 s (the MXU-bound
@@ -983,7 +1063,7 @@ def main():
     # H100 bs=64 S RTFx 2016.18 (benchmark/README.md:136-143). Same
     # differential methodology at batch 64; reports whether v5e's
     # per-chip optimum is bs=32 or 64.
-    rtfx112_64 = rtfx224_64 = None
+    rtfx112_64 = rtfx224_64 = ttft64 = ttft64_ex = None
     try:
         eng64 = WhisperEngine(
             params30, arch30, compute_dtype=compute_dtype,
@@ -1017,12 +1097,64 @@ def main():
             f"fixed {fixed_q*1e3:.0f} ms -> RTFx {rtfx112_64:.0f} (112) / "
             f"{rtfx224_64:.0f} (224) (ref H100 bs=64 2016.18); per-chip "
             f"optimum: bs={64 if rtfx112_64 > rtfx112 * 2 else 32}")
+        # bs=64 TTFT (reference H100 bs=64 S 0.3175 s,
+        # benchmark/README.md:136-143) — same direct max_new=1 protocol
+        # as the bs=32 key.
+        one_b64 = GenerationOptions(max_new_tokens=1, language="en")
+        eng64.transcribe_audio(audio64, one_b64)   # compile
+        b64 = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            eng64.transcribe_audio(audio64, one_b64)
+            b64.append(time.perf_counter() - t0)
+        ttft64 = statistics.median(b64)
+        ttft64_ex = max(ttft64 - rtt, 0.0)
+        log(f"bs=64 TTFT: {ttft64*1e3:.1f} ms total = {rtt*1e3:.1f} RTT + "
+            f"{ttft64_ex*1e3:.1f} compute (ref H100 bs=64 S 317.5 ms)")
         del eng64, audio64
     except Exception as e:
         log(f"bs=64 offline section FAILED (continuing): {e!r}")
 
+    # --- optional WER eval on real weights (VERDICT r4 #9) ------------------
+    # The day this environment gets real weights:
+    #   python bench.py --checkpoint <dir> --eval-manifest <jsonl>
+    # puts WER next to every perf key in one command (reference WER
+    # anchors: benchmark/README.md:18-66).
+    wer_eval = None
+    if args.eval_manifest:
+        if not args.checkpoint:
+            log("--eval-manifest needs --checkpoint (tokenizer); skipping")
+        else:
+            try:
+                import os as _os
+                import sys as _sys
+
+                bench_dir = _os.path.join(_os.path.dirname(
+                    _os.path.abspath(__file__)), "benchmark")
+                if bench_dir not in _sys.path:
+                    _sys.path.insert(0, bench_dir)
+                from data_utils import load_manifest
+                from eval_utils import evaluate_dataset
+
+                pipe_eval = pl.ASRPipeline(
+                    args.checkpoint, model_size="S", chunk_length_s=30,
+                    batch_size=8)
+                wer_eval = evaluate_dataset(
+                    pipe_eval, load_manifest(args.eval_manifest),
+                    language="en", batch_size=8, max_new_tokens=128)
+                log(f"WER eval ({args.eval_manifest}): {wer_eval}")
+                del pipe_eval
+            except Exception as e:
+                log(f"WER eval FAILED (continuing): {e!r}")
+
     def put(key, val, scale=1.0, nd=1):
         return {key: round(val * scale, nd)} if val is not None else {}
+
+    # Headline "S" keys carry the int8-end-to-end (W8A8 encoder) arm;
+    # if that arm soft-failed, fall back to the weight-only number so
+    # the headline key never silently vanishes.
+    rtfx_lf_head = rtfx_lf_sp if rtfx_lf_sp is not None else rtfx_lf
+    rtfx_lf32_head = rtfx_lf32_sp if rtfx_lf32_sp is not None else rtfx_lf32
 
     print(json.dumps({
         "metric": "decode_tok_s",
@@ -1036,8 +1168,8 @@ def main():
         # 144-token micro-decode of ONE 10 s window, protocol-matched to
         # nothing the reference publishes.
         "rtfx_bs1_forced144_10s_micro": round(rtfx_bs1, 1),
-        **put("rtfx_bs1_longform", rtfx_lf),
-        **put("rtfx_bs1_longform_splus", rtfx_lf_sp),
+        **put("rtfx_bs1_longform", rtfx_lf_head),
+        **put("rtfx_bs1_longform_s_legacy", rtfx_lf),
         # xl_* = the reference's "XL" rows: the fp16 (here bf16) TURBO
         # engine (benchmark/README.md:91-93). whisper-large-v3 proper
         # reports under lv3_*.
@@ -1045,8 +1177,12 @@ def main():
         **put("xl_ttft_ms", xl_ttft, 1e3),
         **put("xl_ttft_ex_rtt_ms", xl_ttft_ex, 1e3),
         **put("xl_decode_tok_s", xl_tok_s_turbo),
-        **put("rtfx_bs32_longform", rtfx_lf32),
-        **put("rtfx_bs32_longform_splus", rtfx_lf32_sp),
+        # "S" headline = int8 end to end (W8A8 encoder), matching the
+        # reference's quantized-engine definition; *_s_legacy keeps the
+        # round-4 weight-only arm for one round of comparability
+        # (VERDICT r4 weak #6).
+        **put("rtfx_bs32_longform", rtfx_lf32_head),
+        **put("rtfx_bs32_longform_s_legacy", rtfx_lf32),
         **put("rtfx_bs64_longform", rtfx_lf64),
         "spec_ngram_tok_s": round(spec_tok_s, 1),
         "spec_run_tok_per_round": round(tpr_run, 2),
@@ -1057,14 +1193,19 @@ def main():
         "stream_p99_ms": round(p99, 1),
         "stream_tick_device_ms": round(dev_ms, 1),
         "stream_tick_host_align_ms": round(host_ms, 1),
-        "offline_bs32_rtfx112": round(rtfx112, 1),
-        "offline_bs32_rtfx224": round(rtfx224, 1),
-        "offline_bs32_rtfx112_splus": round(rtfx112_p, 1),
-        "offline_bs32_rtfx224_splus": round(rtfx224_p, 1),
+        "stream_rtt_ms": round(stream_rtt * 1e3, 1),
+        "offline_bs32_rtfx112": round(rtfx112_p, 1),
+        "offline_bs32_rtfx224": round(rtfx224_p, 1),
+        "offline_bs32_rtfx112_s_legacy": round(rtfx112, 1),
+        "offline_bs32_rtfx224_s_legacy": round(rtfx224, 1),
         **put("offline_bs32_rtfx112_xl", rtfx112_xl),
         **put("offline_bs32_rtfx224_xl", rtfx224_xl),
         **put("offline_bs64_rtfx112", rtfx112_64),
         **put("offline_bs64_rtfx224", rtfx224_64),
+        **put("ttft_bs32_ms", ttft32, 1e3),
+        **put("ttft_bs32_ex_rtt_ms", ttft32_ex, 1e3),
+        **put("ttft_bs64_ms", ttft64, 1e3),
+        **put("ttft_bs64_ex_rtt_ms", ttft64_ex, 1e3),
         **put("encoder_bs32_mfu", enc_mfu, 1.0, 3),
         **put("decode_bs32_mfu", dec_mfu, 1.0, 3),
         **put("decode_bs32_hbm_util", dec_hbm, 1.0, 3),
@@ -1081,6 +1222,9 @@ def main():
         **put("lv3_spec_distilled_tok_s", lv3_specd_tok_s),
         **put("lv3_spec_distilled_tok_per_round", lv3_specd_tpr, 1.0, 2),
         **put("lv3_rtfx_bs1_longform_spec", lv3_rtfx_lf_spec),
+        **({k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in wer_eval.items()} if wer_eval else {}),
+        **({"checkpoint": args.checkpoint} if args.checkpoint else {}),
     }))
 
 

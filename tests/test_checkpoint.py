@@ -137,6 +137,47 @@ def test_pipeline_with_real_checkpoint_and_tokenizer(tiny_ckpt):
         assert len(ch["timestamp"]) == 2
 
 
+def test_model_size_s_transcript_parity(tiny_ckpt):
+    """The quality gate for shipping "S" = int8 end to end (W8A8
+    encoder + weight-only int8 decoder + int8 cross-KV) as the default:
+    pipeline transcripts must MATCH the unquantized bf16 pipeline on the
+    synthetic checkpoint (VERDICT r4 weak #6). "S-legacy" (weight-only)
+    must also still build."""
+    import jax.numpy as jnp
+
+    from thewhisper_tpu.pipeline import ASRPipeline
+
+    audio = (0.1 * np.random.default_rng(7).standard_normal(48000)
+             ).astype(np.float32)
+    kw = {"max_new_tokens": 12, "language": "en"}
+
+    base = ASRPipeline(tiny_ckpt, chunk_length_s=10,
+                       compute_dtype=jnp.bfloat16)
+    s = ASRPipeline(tiny_ckpt, model_size="S", chunk_length_s=10)
+    enc_leaf = s.engine.params["encoder"]["layers"]["mlp"]["fc1_w"]
+    dec_leaf = s.engine.params["decoder"]["layers"]["mlp"]["fc1_w"]
+    assert set(enc_leaf) == {"q8", "s8"}        # W8A8 encoder
+    assert "q" in dec_leaf                      # int8 decoder (maybe fused)
+    assert s.engine.cross_kv_int8
+
+    out_b = base(audio, return_timestamps="word", generate_kwargs=dict(kw))
+    out_s = s(audio, return_timestamps="word", generate_kwargs=dict(kw))
+    assert out_s["text"] == out_b["text"]
+    # Word boundaries may move by at most one 20 ms alignment frame.
+    for cb, cs in zip(out_b["chunks"], out_s["chunks"]):
+        assert cb["text"] == cs["text"]
+        for tb, ts in zip(cb["timestamp"], cs["timestamp"]):
+            if tb is not None and ts is not None:
+                assert abs(tb - ts) <= 0.021
+
+    legacy = ASRPipeline(tiny_ckpt, model_size="S-legacy", chunk_length_s=10)
+    enc_leaf_l = legacy.engine.params["encoder"]["layers"]["mlp"]["fc1_w"]
+    assert not isinstance(enc_leaf_l, dict)     # encoder stays bf16
+    out_l = legacy(audio, return_timestamps="word",
+                   generate_kwargs=dict(kw))
+    assert out_l["text"] == out_b["text"]
+
+
 def test_parity_with_hf_on_checkpoint(tiny_ckpt):
     """Teacher-forced logits of the loaded checkpoint match HF torch."""
     import torch

@@ -78,3 +78,34 @@ def test_ingest_chain_full(ckpt, tmp_path):
     # The report round-trips as the single JSON line the runbook prints.
     on_disk = json.loads(report_path.read_text())
     assert on_disk == json.loads(json.dumps(report))
+
+
+def test_bench_checkpoint_flag(ckpt):
+    """bench.py --checkpoint routes the headline model through the same
+    loader the ingest runbook uses (VERDICT r4 #9: the day real weights
+    land, every bench key is one command away). CI exercises the loading
+    helper on the synthetic checkpoint; the full bench run needs the
+    real chip."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    import bench
+
+    import dataclasses
+
+    from thewhisper_tpu.config import ARCH_PRESETS
+
+    fallback = dataclasses.replace(
+        ARCH_PRESETS["large-v3-turbo"],
+        alignment_heads=((1, 0), (2, 3), (3, 7)))
+    params, arch = bench.load_headline_params(
+        ckpt, 10.0, jnp.bfloat16, fallback)
+    assert arch.vocab_size == 51866
+    assert arch.max_source_positions == 500          # 10 s bucket
+    assert arch.alignment_heads                      # inherited if absent
+    assert params["decoder"]["token_emb"].shape[0] == 51866
+    # No checkpoint -> random init on the fallback arch (default path).
+    params_r, arch_r = bench.load_headline_params(
+        None, 10.0, jnp.bfloat16, fallback)
+    assert arch_r is fallback
+    assert params_r["decoder"]["token_emb"].shape[0] == fallback.vocab_size

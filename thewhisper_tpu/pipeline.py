@@ -71,11 +71,19 @@ class ASRPipeline:
             self.engine = model
         else:
             dtype = compute_dtype or (jnp.bfloat16 if model_size != "XL32" else jnp.float32)
-            # "S" = int8 weight-only decoder (reference quantized engines).
+            # "S" = int8 end to end, like the reference's quantized
+            # TensorRT engines (benchmark/README.md:91-93): weight-only
+            # int8 decoder + int8 cross-KV + W8A8 encoder ("int8-all").
+            # Promoted from opt-in in round 5 — W8A8 won every measured
+            # protocol (bs=32 long-form 1076 vs 880 RTFx) and pipeline
+            # transcripts match bf16 exactly on the synthetic checkpoint
+            # (tests/test_pipeline.py::test_model_size_s_transcript_parity);
+            # "S-legacy" keeps the weight-only decoder for one round of
+            # comparability.
+            quant = {"S": "int8-all", "S-legacy": "int8"}.get(model_size)
             self.engine = WhisperEngine.from_checkpoint(
                 model, chunk_length_s=chunk_length_s, compute_dtype=dtype,
-                position_mode=position_mode,
-                quantize="int8" if model_size == "S" else None,
+                position_mode=position_mode, quantize=quant,
                 draft=draft)
             if tokenizer is None:
                 tokenizer = _try_load_hf_tokenizer(model)

@@ -38,7 +38,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODES = {"XL": None, "S": "int8", "S+": "int8-all"}
+MODES = {"XL": None, "S": "int8-all", "S+": "int8-all",
+         "S-legacy": "int8"}
 
 
 def ingest(
@@ -74,20 +75,19 @@ def ingest(
 
     t0 = time.perf_counter()
     dtype = jnp.float32 if compute_dtype == "float32" else jnp.bfloat16
+    # "S" is int8 END TO END since round 5 (W8A8 encoder + int8 decoder
+    # + int8 cross-KV — the reference's quantized-engine definition);
+    # "S+" is kept as an alias, "S-legacy" is the weight-only decoder.
     pipe = ASRPipeline(
         checkpoint,
-        model_size={"S": "S", "S+": "S", "XL": None}[mode],
+        model_size={"S": "S", "S+": "S", "S-legacy": "S-legacy",
+                    "XL": None}[mode],
         chunk_length_s=chunk_length_s,
         language=language,
         compute_dtype=dtype,
         batch_size=eval_batch_size,
     )
     eng = pipe.engine
-    if mode == "S+":
-        from thewhisper_tpu.models.quant import quantize_params
-
-        eng.params = quantize_params(
-            eng.params, components=("encoder",), activation_int8=True)
     report["load_s"] = round(time.perf_counter() - t0, 2)
     report["param_bytes"] = int(quantized_bytes(eng.params))
     report["vocab_size"] = eng.arch.vocab_size
