@@ -24,10 +24,14 @@ sync tick (place / dispatch / fetch) directly every 50 ticks.
 Run on the real TPU (default shell): python tools/stream_stage_probe.py
 """
 
+import os
 import statistics
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

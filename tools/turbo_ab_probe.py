@@ -19,11 +19,14 @@ Run on an idle real TPU: python tools/turbo_ab_probe.py
 """
 
 import dataclasses
+import os
 import statistics
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
