@@ -573,8 +573,23 @@ def main(argv=None):
     # identical code in a fresh process, and 500 MB of upload aging
     # moves nothing — the residual tracks the RTT at measurement time,
     # so attribute against the in-window RTT, not the stale one).
+    # The buffer ROLLS like the real tick (append 0.5 s, trim at 9 s):
+    # round 5 routes sub-4 MB host audio through DeltaDevicePutCache,
+    # so an unchanged buffer would measure the no-upload path and
+    # understate the tick; rolling pays the honest ~32-64 KB splice.
+    frontier = 2 * 16000
+    audio_pad[0, frontier:] = 0.0
     lat, rtts_st = [], []
     for i in range(400):
+        if frontier + 8000 > 9 * 16000:
+            audio_pad[0, : 2 * 16000] = audio_pad[
+                0, frontier - 2 * 16000: frontier]
+            audio_pad[0, 2 * 16000:] = 0.0
+            frontier = 2 * 16000
+        else:
+            audio_pad[0, frontier: frontier + 8000] = (
+                0.1 * rng.standard_normal(8000))
+            frontier += 8000
         t0 = time.perf_counter()
         engine.transcribe_audio(audio_pad, stream_opts)
         lat.append(time.perf_counter() - t0)
@@ -609,11 +624,13 @@ def main(argv=None):
             num_frames=np.asarray([len(buf) // 160]),
             median_filter_width=arch.median_filter_width)
     host_ms = (time.perf_counter() - t0) / 20 * 1e3
-    log(f"p50/p95/p99 streaming chunk latency (9s buffer, 32 tok + align, "
-        f"fused, 400 ticks): {p50:.1f} / {p95:.1f} / {p99:.1f} ms = "
-        f"~{stream_rtt*1e3:.1f} in-window RTT + ~{dev_ms:.1f} device + "
-        f"~{host_ms:.1f} host align post + ~12 audio upload "
-        f"(640 KB/tick, tools/stream_stage_probe.py)")
+    dc = engine._delta_devput_cache
+    log(f"p50/p95/p99 streaming chunk latency (rolling 9s buffer, 32 tok "
+        f"+ align, fused, 400 ticks): {p50:.1f} / {p95:.1f} / {p99:.1f} ms "
+        f"= ~{stream_rtt*1e3:.1f} in-window RTT + ~{dev_ms:.1f} device + "
+        f"~{host_ms:.1f} host align post + delta audio splice "
+        f"({dc.delta} deltas / {dc.full} fulls; was ~12 ms full upload "
+        f"pre-round-5, tools/stream_stage_probe.py)")
 
     # --- large-v3 ("XL" family): the reference's 220 tok/s headline model --
     # README.md:19's claim is for whisper-large-v3 (32 decoder layers),

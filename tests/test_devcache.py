@@ -9,7 +9,10 @@ in-place mutation (any contiguous write >= 256 bytes).
 import numpy as np
 import pytest
 
-from thewhisper_tpu.utils.devcache import DevicePutCache
+from thewhisper_tpu.utils.devcache import (
+    DeltaDevicePutCache,
+    DevicePutCache,
+)
 
 
 def _transfer_counter():
@@ -87,6 +90,86 @@ def test_non_ndarray_passthrough():
     out = cache.put([1.0, 2.0], transfer)
     assert len(calls) == 1 and list(out) == [1.0, 2.0]
     assert not cache._entries
+
+
+def _jnp_transfer_counter():
+    """Transfer stub returning real jax arrays (the splice path jits)."""
+    import jax.numpy as jnp
+
+    calls = []
+
+    def transfer(x):
+        calls.append(np.asarray(x))
+        return jnp.asarray(x)
+
+    return transfer, calls
+
+
+def test_delta_cache_streaming_tick_uploads_only_the_changed_span():
+    """The rolling streaming buffer: appended audio inside a zero-padded
+    bucket must ship as a small bucket splice, not a full re-upload."""
+    cache = DeltaDevicePutCache(min_bytes=0)
+    transfer, calls = _jnp_transfer_counter()
+    n = 160_000
+    buf = np.zeros((1, n), np.float32)
+    rng = np.random.default_rng(0)
+    frontier = 64_000
+    buf[0, :frontier] = rng.standard_normal(frontier)
+
+    d1 = cache.put(buf, transfer)
+    assert cache.full == 1 and len(calls) == 1
+    np.testing.assert_array_equal(np.asarray(d1), buf)
+
+    # Tick: append 0.5 s (8000 samples) at the frontier.
+    buf2 = buf.copy()
+    buf2[0, frontier: frontier + 8000] = rng.standard_normal(8000)
+    d2 = cache.put(buf2, transfer)
+    assert cache.delta == 1 and cache.full == 1
+    # The uploaded window is a bucket covering the changed span, far
+    # smaller than the buffer (8000 changed -> 16384-element bucket).
+    assert calls[-1].size <= 16384
+    np.testing.assert_array_equal(np.asarray(d2), buf2)
+
+    # Unchanged re-put: zero transfers.
+    n_calls = len(calls)
+    d3 = cache.put(buf2.copy(), transfer)
+    assert len(calls) == n_calls and d3 is d2
+
+
+def test_delta_cache_trim_falls_back_to_full_transfer():
+    """A buffer trim rewrites the prefix — more than half the elements
+    change, so correctness demands a full upload."""
+    cache = DeltaDevicePutCache(min_bytes=0)
+    transfer, calls = _jnp_transfer_counter()
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((1, 100_000)).astype(np.float32)
+    cache.put(a, transfer)
+    b = np.roll(a, -40_000, axis=1)           # trim: everything shifts
+    d = cache.put(b, transfer)
+    assert cache.full == 2 and cache.delta == 0
+    np.testing.assert_array_equal(np.asarray(d), b)
+
+
+def test_delta_cache_change_at_the_very_end_is_a_delta():
+    cache = DeltaDevicePutCache(min_bytes=0)
+    transfer, calls = _jnp_transfer_counter()
+    a = np.zeros((1, 65_536), np.float32)
+    cache.put(a, transfer)
+    b = a.copy()
+    b[0, -100:] = 1.0
+    d = cache.put(b, transfer)
+    assert cache.delta == 1
+    np.testing.assert_array_equal(np.asarray(d), b)
+
+
+def test_delta_cache_bypasses_small_and_batched_arrays():
+    cache = DeltaDevicePutCache(min_bytes=1 << 16)
+    transfer, calls = _jnp_transfer_counter()
+    small = np.zeros((1, 128), np.float32)
+    batched = np.zeros((4, 100_000), np.float32)
+    cache.put(small, transfer)
+    cache.put(batched, transfer)
+    assert len(calls) == 2 and not cache._entries
 
 
 def test_pipeline_longform_reuses_device_file(tiny_engine_factory=None):

@@ -242,9 +242,19 @@ class WhisperEngine:
         # leaked buffers accumulate (utils/devcache.py docstring), so a
         # benchmark or server loop re-placing the same buffer must not
         # re-upload it.
-        from thewhisper_tpu.utils.devcache import DevicePutCache
+        from thewhisper_tpu.utils.devcache import (
+            DeltaDevicePutCache,
+            DevicePutCache,
+        )
 
         self._devput_cache = DevicePutCache()
+        # Streaming-tick audio ((1, N) f32, ~640 KB) sits below the
+        # identity cache's gate AND is a fresh numpy object every tick,
+        # yet is byte-identical to the previous tick except the newly
+        # appended ~0.5 s. The delta cache uploads only the changed
+        # suffix and splices it on device (~12 ms/tick saved on the
+        # tunnel — tools/stream_stage_probe.py, VERDICT r4 #2).
+        self._delta_devput_cache = DeltaDevicePutCache()
         self._lock = threading.Lock()
         # Persistent XLA compile cache: generate-program compiles take
         # minutes cold; warm restarts reload them in seconds. Opt out with
@@ -816,6 +826,8 @@ class WhisperEngine:
         Large host arrays route through the identity-keyed transfer
         cache (see ``__init__``)."""
         if isinstance(x, np.ndarray):
+            if x.nbytes < self._devput_cache.min_bytes:
+                return self._delta_devput_cache.put(x, self._transfer)
             return self._devput_cache.put(x, self._transfer)
         return self._transfer(x)
 

@@ -13,9 +13,12 @@ preamble — if the hypothesis holds, the "regression" is leak-age, not a
 framework change.
 
 Design: interleave, tick for tick,
-  A) the bench's exact tick: host-resident audio (fresh upload per call)
+  A) host-resident audio, content unchanged (delta cache identical-hit)
   B) the same program with DEVICE-resident audio (no upload)
   C) a trivial-program round trip (pure RTT tracker)
+  D) fresh-content host audio (full re-upload — the pre-delta baseline)
+  E) rolling-buffer host audio (realistic append/trim ticks — the
+     DeltaDevicePutCache splice path, VERDICT r4 #2 fix)
 and report windowed medians (first/middle/last quarter) for each. If A
 degrades across the run while B and C stay flat, the residual is the
 per-tick upload on an aging tunnel session. Also times each stage of one
@@ -64,6 +67,18 @@ def main(n_ticks: int = 400) -> None:
         params, arch, compute_dtype=jnp.bfloat16, batch_buckets=(1,),
         suppress_tokens=[SpecialTokens().eot])
 
+    # One engine per host-audio arm: the delta transfer cache keys on
+    # array shape, so arms sharing an engine would thrash each other's
+    # cached buffer and measure fallback full transfers instead of the
+    # per-arm steady state. Params are shared; XLA's persistent compile
+    # cache dedupes the executables.
+    eng_fresh = WhisperEngine(
+        params, arch, compute_dtype=jnp.bfloat16, batch_buckets=(1,),
+        suppress_tokens=[SpecialTokens().eot])
+    eng_roll = WhisperEngine(
+        params, arch, compute_dtype=jnp.bfloat16, batch_buckets=(1,),
+        suppress_tokens=[SpecialTokens().eot])
+
     rng = np.random.default_rng(0)
     buf = (0.1 * rng.standard_normal(9 * 16000)).astype(np.float32)
     audio_pad = np.zeros((1, 10 * 16000), np.float32)
@@ -72,15 +87,23 @@ def main(n_ticks: int = 400) -> None:
     opts = GenerationOptions(max_new_tokens=32, language="en",
                              return_timestamps=True)
 
+    # Rolling-buffer arm state: 2 s start, +0.5 s per tick, trim at 9 s
+    # (the real tick's append/trim cycle -> delta splices + rare fulls).
+    roll = np.zeros((1, 10 * 16000), np.float32)
+    roll_frontier = 2 * 16000
+    roll[0, :roll_frontier] = 0.1 * rng.standard_normal(roll_frontier)
+
     print("compiling the streaming tick program...", flush=True)
     engine.transcribe_audio(audio_pad, opts)
     engine.transcribe_audio(audio_dev, opts)
+    eng_fresh.transcribe_audio(audio_pad.copy(), opts)
+    eng_roll.transcribe_audio(roll, opts)
 
     triv = jax.jit(lambda x: x + 1.0)
     z = jnp.zeros(())
     np.asarray(triv(z))
 
-    host_l, dev_l, rtt_l = [], [], []
+    host_l, dev_l, rtt_l, fresh_l, roll_l = [], [], [], [], []
     stage_rows = []
     for i in range(n_ticks):
         t0 = time.perf_counter()
@@ -92,6 +115,28 @@ def main(n_ticks: int = 400) -> None:
         t0 = time.perf_counter()
         np.asarray(triv(z))
         rtt_l.append(time.perf_counter() - t0)
+        # Fresh-content arm: full re-upload every tick (the pre-delta
+        # baseline; content differs from the first block on).
+        fresh = audio_pad.copy()
+        fresh[0, :4096] = 0.1 * rng.standard_normal(4096)
+        fresh[0, -4096:] = 0.1 * rng.standard_normal(4096)
+        t0 = time.perf_counter()
+        eng_fresh.transcribe_audio(fresh, opts)
+        fresh_l.append(time.perf_counter() - t0)
+        # Rolling arm: append 0.5 s; trim back to 2 s at the 9 s mark.
+        if roll_frontier + 8000 > 9 * 16000:
+            keep = roll[0, roll_frontier - 2 * 16000: roll_frontier].copy()
+            roll = np.zeros_like(roll)
+            roll_frontier = 2 * 16000
+            roll[0, :roll_frontier] = keep
+        else:
+            roll = roll.copy()
+            roll[0, roll_frontier: roll_frontier + 8000] = (
+                0.1 * rng.standard_normal(8000))
+            roll_frontier += 8000
+        t0 = time.perf_counter()
+        eng_roll.transcribe_audio(roll, opts)
+        roll_l.append(time.perf_counter() - t0)
         if i % 50 == 25:
             # Direct stage timing of one host tick: place / dispatch /
             # fetch. Mirrors _transcribe_audio's structure.
@@ -119,8 +164,12 @@ def main(n_ticks: int = 400) -> None:
                   f"{t_disp*1e3:.1f} fetch {t_fetch*1e3:.1f} ms", flush=True)
 
     q = n_ticks // 4
+    dc = eng_roll._delta_devput_cache
+    print(f"rolling-arm delta cache: {dc.delta} deltas / {dc.full} fulls",
+          flush=True)
     for name, xs in (("host-audio", host_l), ("device-audio", dev_l),
-                     ("trivial-rtt", rtt_l)):
+                     ("trivial-rtt", rtt_l), ("fresh-audio", fresh_l),
+                     ("rolling-audio", roll_l)):
         print(f"{name}: p50 {med(xs):.1f} ms | quarters "
               f"{med(xs[:q]):.1f} / {med(xs[q:2*q]):.1f} / "
               f"{med(xs[2*q:3*q]):.1f} / {med(xs[3*q:]):.1f} | "
