@@ -61,11 +61,14 @@ class NeuralVAD:
                 params = {k: z[k] for k in z.files}
         self.p = {k: np.asarray(v, np.float32) for k, v in params.items()}
         self.sample_rate = sample_rate
+        # LSTM width comes from the weights (the trainer's --hidden knob;
+        # the shipped file uses _HIDDEN).
+        self._hidden = self.p["lstm_b"].shape[0] // 4
         self.reset_states()
 
     def reset_states(self) -> None:
-        self._h = np.zeros(_HIDDEN, np.float32)
-        self._c = np.zeros(_HIDDEN, np.float32)
+        self._h = np.zeros(self._hidden, np.float32)
+        self._c = np.zeros(self._hidden, np.float32)
         self._last = 0.0
 
     @staticmethod

@@ -150,11 +150,89 @@ def holdout_speech(rng: np.random.Generator, seconds: float, sr: int = SR,
     return audio, activity
 
 
+def _holdout_rir(rng: np.random.Generator, sr: int = SR) -> np.ndarray:
+    """Two-slope RIR with discrete early reflections — a different room
+    model from the trainer's single-slope noise tail."""
+    rt = rng.uniform(0.15, 0.7)
+    n = int(rt * sr)
+    rir = np.zeros(n + 1, np.float32)
+    rir[0] = 1.0
+    for _ in range(int(rng.integers(3, 9))):      # early reflections
+        p = int(rng.uniform(0.002, 0.03) * sr)
+        if p < len(rir):
+            rir[p] += rng.uniform(0.1, 0.5) * rng.choice([-1.0, 1.0])
+    tail = rng.standard_normal(n).astype(np.float32)
+    k = np.arange(n) / n
+    # Two-slope decay: fast early, slower late.
+    env = np.where(k < 0.25, np.exp(-12 * k), np.exp(-3 - 4 * (k - 0.25)))
+    rir[1:] += rng.uniform(0.1, 0.4) * tail * env.astype(np.float32)
+    return rir
+
+
+def _convolve_same(x: np.ndarray, h: np.ndarray) -> np.ndarray:
+    m = len(x) + len(h) - 1
+    nfft = 1 << (m - 1).bit_length()
+    y = np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(h, nfft),
+                     nfft)[: len(x)]
+    return (y / (np.abs(y).max() + 1e-9) * (np.abs(x).max() + 1e-9)
+            ).astype(np.float32)
+
+
+N_NEG_KINDS = 8
+NEG_KIND_NAMES = ("karplus-strong", "rain", "applause", "machinery",
+                  "wind", "traffic", "speech-shaped-noise",
+                  "aliased-machinery")
+
+
 def holdout_negative(rng: np.random.Generator, seconds: float,
-                     sr: int = SR) -> np.ndarray:
+                     sr: int = SR, kind: Optional[int] = None) -> np.ndarray:
     """One MUSAN-style non-speech clip from a family the trainer never saw."""
     n = int(seconds * sr)
-    kind = int(rng.integers(0, 6))
+    if kind is None:
+        kind = int(rng.integers(0, N_NEG_KINDS))
+    if kind == 6:
+        # Speech-shaped modulated noise, round-5 eval recipe (distinct
+        # from the trainer's fixed-resonator sinusoid-AM version):
+        # THREE random-walking formant-range resonators over pink-ish
+        # noise, AM from rectified 0.5-4 Hz band noise.
+        from scipy.signal import lfilter
+
+        src = lfilter([0.3], [1.0, -0.7],
+                      rng.standard_normal(n)).astype(np.float32)
+        y = np.zeros(n, np.float32)
+        blk = int(0.03 * sr)
+        centers = np.asarray([rng.uniform(300, 800),
+                              rng.uniform(900, 2000),
+                              rng.uniform(2100, 3200)])
+        for b0 in range(0, n, blk):
+            b1 = min(b0 + blk, n)
+            centers = np.clip(centers * (1 + rng.normal(0, 0.04, 3)),
+                              250, 3500)
+            for c in centers:
+                y[b0:b1] += _resonator(src[b0:b1], float(c), 150.0, sr)
+        am_src = lfilter([0.01], [1.0, -0.999],
+                         rng.standard_normal(n)).astype(np.float32)
+        am = np.abs(am_src)
+        am = am / (am.max() + 1e-9)
+        y = y * (0.15 + 0.85 * am)
+        return (rng.uniform(0.15, 0.5) * y / (np.abs(y).max() + 1e-9)
+                ).astype(np.float32)
+    if kind == 7:
+        # Aliased/sample-held machinery: harmonic stack through a
+        # sample-and-hold "codec" (decimation artifacts).
+        tt = np.arange(n) / sr
+        base = rng.uniform(120, 700)
+        y = np.asarray(sum(
+            rng.uniform(0.2, 1.0)
+            * np.sin(2 * np.pi * base * k * tt + rng.uniform(0, 6.28))
+            for k in range(1, 7)), np.float32)
+        hold = int(rng.integers(3, 9))
+        y = np.repeat(y[::hold], hold)[:n]
+        bits = int(rng.integers(3, 6))                 # bit-crush
+        q = 2.0 ** (bits - 1)
+        y = np.round(y * q) / q
+        return (rng.uniform(0.1, 0.4) * y / (np.abs(y).max() + 1e-9)
+                ).astype(np.float32)
     if kind == 0:     # Karplus-Strong plucked string phrase
         y = np.zeros(n, np.float32)
         pos = 0
@@ -240,6 +318,15 @@ def holdout_clip(rng: np.random.Generator, seconds: float = 4.0,
     noise = holdout_negative(rng, seconds, sr)
     if speech_present:
         speech, act = holdout_speech(rng, seconds, sr)
+        if rng.random() < 0.3:
+            # Reverberant speech-in-noise (round-5 eval axis): two-slope
+            # room on the SPEECH; tails become ambiguous (0.5 activity ->
+            # the 20-80 % boundary mask), never hard negatives.
+            speech = _convolve_same(speech, _holdout_rir(rng, sr))
+            k = int(0.12 * sr)
+            ext = np.convolve(act, np.ones(k, np.float32),
+                              mode="full")[: len(act)]
+            act = np.maximum(act, 0.5 * (ext > 0).astype(np.float32))
         snr = float(rng.uniform(0.0, 25.0)) if snr_db is None else snr_db
         p_s = float(np.mean(speech ** 2)) + 1e-12
         p_n = float(np.mean(noise ** 2)) + 1e-12
@@ -247,6 +334,18 @@ def holdout_clip(rng: np.random.Generator, seconds: float = 4.0,
         audio = speech + noise
     else:
         audio, act = noise, np.zeros(len(noise), np.float32)
+    r = rng.random()
+    if r < 0.15:
+        # Clipping artifact (round-5 eval axis).
+        c = rng.uniform(0.3, 0.7) * (np.abs(audio).max() + 1e-9)
+        audio = np.clip(audio, -c, c)
+    elif r < 0.3:
+        # Uniform bit-crush codec artifact (distinct from the trainer's
+        # mu-law round trip).
+        bits = int(rng.integers(4, 7))
+        peak = np.abs(audio).max() + 1e-9
+        q = 2.0 ** (bits - 1)
+        audio = (np.round(audio / peak * q) / q * peak).astype(np.float32)
     n_win = len(audio) // WINDOW
     frac = act[: n_win * WINDOW].reshape(n_win, WINDOW).mean(axis=1)
     labels = (frac > 0.5).astype(np.float32)

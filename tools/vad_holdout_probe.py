@@ -76,11 +76,35 @@ def main():
         print(f"| {name} | {p1:.3f} / {r1:.3f} | {p2:.3f} / {r2:.3f} |"
               f"   <!-- neural {c1} energy {c2} -->")
 
-    print("\nNeuralVAD threshold sweep (random-SNR mix):")
+    print("\nNeuralVAD P/R curve (random-SNR mix):")
     pn, _, ys = runs["random 0-25 dB"]
-    for th in (0.05, 0.1, 0.2, 0.3, 0.5, 0.7):
+    for th in (0.02, 0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9):
         p, r, c = pr(pn, ys, th)
         print(f"  th={th:.2f}: precision {p:.3f} recall {r:.3f} {c}")
+
+    # Per-family false-accept rates on PURE negatives: which noise family
+    # drives the precision loss at the production gate.
+    from thewhisper_tpu.streaming.vad_holdout import (
+        N_NEG_KINDS,
+        NEG_KIND_NAMES,
+        holdout_negative,
+    )
+
+    print("\nfalse-accept rate @0.1 by negative family "
+          f"({max(args.clips // 3, 10)} clips each):")
+    vn = NeuralVAD()
+    rng = np.random.default_rng(EVAL_SEED + 1)
+    for kind in range(N_NEG_KINDS):
+        fires = total = 0
+        for _ in range(max(args.clips // 3, 10)):
+            neg = holdout_negative(rng, 4.0, kind=kind)
+            vn.reset_states()
+            n_win = len(neg) // WINDOW
+            for w in range(n_win):
+                fires += vn(neg[w * WINDOW: (w + 1) * WINDOW], 16000) > 0.1
+                total += 1
+        print(f"  {NEG_KIND_NAMES[kind]:22s}: {fires/max(total,1):.3f} "
+              f"({fires}/{total})")
 
 
 if __name__ == "__main__":
