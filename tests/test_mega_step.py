@@ -94,6 +94,48 @@ def test_step_parity(setup, pos):
         np.testing.assert_array_equal(g[..., mask], r[..., mask])
 
 
+@pytest.mark.parametrize("slots,pos", [(5, 4), (13, 9)])
+def test_step_parity_unaligned_cache(slots, pos):
+    """Cache lengths that aren't sublane (8) multiples — every production
+    program (S = prompt + max_new: 5 for TTFT, 148 for a 144-token
+    window) — must run through the kernel. prepare_mega_cache pads the
+    slot axis to 8 (Mosaic rejects unaligned HBM slices; this padding is
+    what round 5's bench failure was missing) and the pad rows stay
+    masked: parity vs the unpadded XLA step pins that."""
+    params = init_params(ARCH, seed=3, dtype=jnp.bfloat16)
+    params = quantize_params(params, components=("decoder",))
+    params = fuse_self_qkv_params(params)
+    params = pack_mega_params(params, ARCH)
+    rng = np.random.default_rng(0)
+    enc_out = jnp.asarray(rng.standard_normal((1, 96, 384)), jnp.bfloat16)
+    ck, cv = compute_cross_kv(params, enc_out, ARCH)
+    cache = make_cache(ARCH, 1, slots, quantize_kv(ck), quantize_kv(cv),
+                       dtype=jnp.bfloat16)
+    prompt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    _, cache, _ = decoder_prefill(params, prompt, cache, ARCH, jnp.bfloat16)
+
+    sk, sv, cross = prepare_mega_cache(cache)
+    assert sk.shape[1] % 8 == 0 and sk.shape[1] >= slots
+    tok = jnp.asarray([[11]], jnp.int32)
+    lg_r, cache_r, al_r = decoder_step(
+        params, tok, jnp.int32(pos), cache, ARCH, jnp.bfloat16)
+    lg_m, (sk1, sv1), al_m = mega_decoder_step(
+        params, tok, jnp.int32(pos), sk, sv, cross, ARCH, True)
+
+    lr, lm = np.asarray(lg_r, np.float32), np.asarray(lg_m, np.float32)
+    rel = np.abs(lr - lm).max() / max(np.abs(lr).max(), 1e-6)
+    assert rel < 2e-2, f"logits rel err {rel}"
+    assert np.abs(np.asarray(al_r) - np.asarray(al_m)).max() < 2e-3
+    for ref, got in ((cache_r.self_k, sk1), (cache_r.self_v, sv1)):
+        r = np.asarray(ref, np.float32)
+        g = np.asarray(from_slot_major(got[:, :slots], ARCH.decoder_heads),
+                       np.float32)
+        assert np.abs(r - g).max() < 5e-2
+        # Pad rows stay zero: nothing writes past the real cache.
+        pad = np.asarray(got[:, slots:], np.float32)
+        np.testing.assert_array_equal(pad, np.zeros_like(pad))
+
+
 def test_greedy_token_parity(setup, monkeypatch):
     """greedy_decode through the megakernel = same tokens as the XLA path."""
     from thewhisper_tpu.engine.decode import greedy_decode

@@ -240,9 +240,23 @@ def prepare_mega_cache(cache) -> Tuple[jnp.ndarray, jnp.ndarray, MegaCrossKV]:
     """Convert a freshly-prefilled DecodeCache (feature-major, int8 cross
     dicts) to the kernel layouts. Runs once per audio window inside the
     jitted program (a ~150 MB transpose, ~0.4 ms — amortized over the
-    whole decode loop)."""
+    whole decode loop).
+
+    The self-KV slot axis pads up to a sublane multiple (8): the kernel
+    DMAs the whole (1, S, D) per-layer slice and Mosaic rejects HBM
+    slices that aren't (8, 128)-tile-aligned — production programs size
+    the cache to prompt + max_new (e.g. 5 for a TTFT program, 148 for a
+    144-token window), none of which are 8-multiples. The pad rows stay
+    zero and are masked by every consumer (``iota < pos`` in the step
+    kernel, per-row causal masks in the verify kernel); the where-iota
+    cache writes target positions < S so they are never written."""
     sk = to_slot_major(cache.self_k)
     sv = to_slot_major(cache.self_v)
+    s = sk.shape[1]
+    s_pad = _pad_up(s, 8)
+    if s_pad != s:
+        sk = jnp.pad(sk, ((0, 0), (0, s_pad - s), (0, 0)))
+        sv = jnp.pad(sv, ((0, 0), (0, s_pad - s), (0, 0)))
     ck, cv = cache.cross_k, cache.cross_v
     assert isinstance(ck, dict), "megakernel needs int8 cross-KV"
     k_sm = to_slot_major(ck["q"])

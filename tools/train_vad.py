@@ -24,7 +24,7 @@ import numpy as np
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _repo)
 
-SEQ_WIN = 32          # windows per training sequence (~1 s)
+SEQ_WIN = 32          # windows per training sequence (~1 s; --seq-win)
 FEAT = 64             # conv output channels (fixed; LSTM input width)
 N_BINS = 129
 N_FRAMES = 3
@@ -48,18 +48,19 @@ def init_params(rng: np.random.Generator, hidden: int = 64):
     }
 
 
-def build_batches(seed: int, n_clips: int, seconds: float = 4.0):
-    """Corpus clips -> (X (N, SEQ_WIN, 512), y, mask) sequence arrays."""
+def build_batches(seed: int, n_clips: int, seconds: float = 4.0,
+                  seq_win: int = SEQ_WIN):
+    """Corpus clips -> (X (N, seq_win, 512), y, mask) sequence arrays."""
     from thewhisper_tpu.streaming.vad_corpus import WINDOW, corpus
 
     xs, ys, ms = [], [], []
     for audio, labels, mask in corpus(seed, n_clips, seconds):
         n_win = len(labels)
         wins = audio.reshape(n_win, WINDOW)
-        for s in range(0, n_win - SEQ_WIN + 1, SEQ_WIN):
-            xs.append(wins[s: s + SEQ_WIN])
-            ys.append(labels[s: s + SEQ_WIN])
-            ms.append(mask[s: s + SEQ_WIN])
+        for s in range(0, n_win - seq_win + 1, seq_win):
+            xs.append(wins[s: s + seq_win])
+            ys.append(labels[s: s + seq_win])
+            ms.append(mask[s: s + seq_win])
     return (np.stack(xs), np.stack(ys).astype(np.float32),
             np.stack(ms).astype(np.float32))
 
@@ -74,6 +75,9 @@ def main():
     ap.add_argument("--pos-weight", type=float, default=2.0)
     ap.add_argument("--hidden", type=int, default=64,
                     help="LSTM width (inference infers it from lstm_b)")
+    ap.add_argument("--seq-win", type=int, default=SEQ_WIN,
+                    help="windows per training sequence (32 ~ 1 s; longer "
+                         "sequences let the LSTM span a full pluck decay)")
     ap.add_argument("--mine", type=int, default=400,
                     help="clips per class to mine hard examples from "
                          "(0 disables)")
@@ -91,8 +95,9 @@ def main():
 
     print("generating corpus...", flush=True)
     t0 = time.time()
-    X, Y, M = build_batches(args.seed, args.clips)
-    print(f"  {X.shape[0]} sequences of {SEQ_WIN} windows "
+    seq_win = args.seq_win
+    X, Y, M = build_batches(args.seed, args.clips, seq_win=seq_win)
+    print(f"  {X.shape[0]} sequences of {seq_win} windows "
           f"({time.time() - t0:.1f}s); positive rate "
           f"{float((Y * M).sum() / max(M.sum(), 1)):.3f}", flush=True)
 
@@ -207,8 +212,8 @@ def main():
                                       np.zeros(len(neg), np.float32))
             n_win = len(neg) // WINDOW
             wins = neg[: n_win * WINDOW].reshape(n_win, WINDOW)
-            for s in range(0, n_win - SEQ_WIN + 1, SEQ_WIN):
-                cand.append(wins[s: s + SEQ_WIN])
+            for s in range(0, n_win - seq_win + 1, seq_win):
+                cand.append(wins[s: s + seq_win])
         cand = np.stack(cand)
         probs = batched_probs(cand)
         hard_neg = cand[(probs > 0.1).any(axis=1)]    # the production gate
@@ -221,10 +226,10 @@ def main():
             audio, labels, mask = make_clip(mrng)
             n_win = len(labels)
             wins = audio[: n_win * WINDOW].reshape(n_win, WINDOW)
-            for s in range(0, n_win - SEQ_WIN + 1, SEQ_WIN):
-                xs.append(wins[s: s + SEQ_WIN])
-                ys.append(labels[s: s + SEQ_WIN])
-                ms.append(mask[s: s + SEQ_WIN])
+            for s in range(0, n_win - seq_win + 1, seq_win):
+                xs.append(wins[s: s + seq_win])
+                ys.append(labels[s: s + seq_win])
+                ms.append(mask[s: s + seq_win])
         xs = np.stack(xs)
         ys, ms = np.stack(ys), np.stack(ms)
         probs = batched_probs(xs)
@@ -242,10 +247,10 @@ def main():
                 pi = rng.integers(0, len(hard_pos), k)
                 bx = np.concatenate([X[idx], hard_neg[ni], hard_pos[pi]])
                 by = np.concatenate([Y[idx],
-                                     np.zeros((k, SEQ_WIN), np.float32),
+                                     np.zeros((k, seq_win), np.float32),
                                      yp[pi]])
                 bm = np.concatenate([M[idx],
-                                     np.ones((k, SEQ_WIN), np.float32),
+                                     np.ones((k, seq_win), np.float32),
                                      mp[pi]])
                 params, opt_state, loss = step(
                     params, opt_state, jnp.asarray(bx), jnp.asarray(by),
