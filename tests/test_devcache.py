@@ -172,6 +172,24 @@ def test_delta_cache_bypasses_small_and_batched_arrays():
     assert len(calls) == 2 and not cache._entries
 
 
+def test_delta_cache_bypasses_3d_arrays():
+    """(1, T, C) feature buffers must NOT take the delta path: the diff
+    span is computed over the flat buffer but the splice indexes the
+    last dim, and the two only coincide for 2-D (1, N). A tail-frame
+    change in a feature-major buffer would otherwise be spliced at a
+    flat offset clamped into the channel axis — silent corruption."""
+    cache = DeltaDevicePutCache(min_bytes=1 << 10)
+    transfer, calls = _jnp_transfer_counter()
+    a = np.zeros((1, 400, 128), np.float32)
+    b = a.copy()
+    b[0, -4:, :] = 1.0   # flat span = the tail -> would pass the n//2 gate
+    d1 = cache.put(a, transfer)
+    d2 = cache.put(b, transfer)
+    assert len(calls) == 2 and not cache._entries and cache.delta == 0
+    np.testing.assert_array_equal(np.asarray(d2), b)
+    np.testing.assert_array_equal(np.asarray(d1), a)
+
+
 def test_pipeline_longform_reuses_device_file(tiny_engine_factory=None):
     """The offset long-form path must upload the file once across calls
     (and across different call chunk lengths, since the padded length is

@@ -162,8 +162,14 @@ class DeltaDevicePutCache:
         return fn(dev, transfer(suffix), jnp.int32(offset))
 
     def put(self, x: np.ndarray, transfer: Callable[[np.ndarray], Any]) -> Any:
+        # 2-D (1, N) only: _diff_span works on the FLAT buffer while
+        # _splice updates a LAST-DIM slice, and the two coincide only
+        # when every leading dim is 1 and there is exactly one data
+        # axis. A (1, T, 128) feature-major buffer whose tail frames
+        # changed would otherwise be spliced at a flat offset clamped
+        # into the last axis — silent corruption.
         if (not isinstance(x, np.ndarray) or x.nbytes < self.min_bytes
-                or x.shape[0] != 1):
+                or x.ndim != 2 or x.shape[0] != 1):
             return transfer(x)
         key = (x.shape, x.dtype.str)
         with self._lock:
