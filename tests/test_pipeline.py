@@ -529,3 +529,46 @@ def test_offset_tail_split_matches_sequential(tiny_pipeline):
     finally:
         pl.PIPELINE_DEPTH = old
     assert seq == off
+
+
+def test_first_window_fast_matches_and_reports_ttft(tiny_pipeline):
+    """first_window_fast routes window 0 through the single-window
+    program ahead of the batched groups (the batched long-form TTFT
+    lever). Output must be IDENTICAL to the default batched offset path
+    — same greedy tokens, same word timestamps, same LCS merge — on
+    both the plain batched and the batch-scan dispatch, and the
+    pipeline must report last_first_result_s + fire on_first_result
+    with window 0's text."""
+    import thewhisper_tpu.pipeline as pl
+
+    audio = _audio(13.1, seed=31)   # 7 windows at 2 s chunk
+    kw = {"max_new_tokens": 8, "language": "en"}
+    old = pl.PIPELINE_DEPTH
+    firsts = []
+    try:
+        pl.PIPELINE_DEPTH = 2
+        base = tiny_pipeline(audio, return_timestamps="word",
+                             generate_kwargs=dict(kw), chunk_length_s=2.0,
+                             batch_size=3)
+        assert tiny_pipeline.last_first_result_s is None   # opt-in: off
+        tiny_pipeline.first_window_fast = True
+        tiny_pipeline.on_first_result = firsts.append
+        fast = tiny_pipeline(audio, return_timestamps="word",
+                             generate_kwargs=dict(kw), chunk_length_s=2.0,
+                             batch_size=3)
+        assert fast == base
+        assert tiny_pipeline.last_first_result_s is not None
+        assert 0 < tiny_pipeline.last_first_result_s < 60
+        assert len(firsts) == 1 and isinstance(firsts[0], str)
+        # Batch-scan dispatch (bs>1, wpp>1) takes the same fast path.
+        tiny_pipeline.windows_per_program = 2
+        scan = tiny_pipeline(audio, return_timestamps="word",
+                             generate_kwargs=dict(kw), chunk_length_s=2.0,
+                             batch_size=3)
+        assert scan == base
+        assert len(firsts) == 2
+    finally:
+        pl.PIPELINE_DEPTH = old
+        tiny_pipeline.first_window_fast = False
+        tiny_pipeline.on_first_result = None
+        tiny_pipeline.windows_per_program = 1

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 import zlib
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -64,6 +65,7 @@ class ASRPipeline:
         reuse_previous_tokens: bool = False,
         pipeline_depth: Optional[int] = None,
         windows_per_program: int = 1,
+        first_window_fast: bool = False,
     ):
         import jax.numpy as jnp
 
@@ -117,6 +119,22 @@ class ASRPipeline:
         # protocol; divides the ~14 ms/window dispatch+fetch tunnel cost
         # by W). 1 = one window per program (classic offset path).
         self.windows_per_program = max(1, int(windows_per_program))
+        # Batched long-form TTFT: run window 0 through the dedicated
+        # single-window program AHEAD of the batched groups, so the
+        # first words of a long file surface after one bs=1 window
+        # (~35 ms on v5e) instead of after the first full batch
+        # (~0.6-0.75 s encoder-bound at bs=32x30 s). A static-batch
+        # engine (the reference's TensorRT path,
+        # benchmark/README.md:113-120, TTFT 0.306 s) cannot do this;
+        # bucketed XLA programs make it one extra dispatch. Costs one
+        # single-window program compile on first use; total wall is
+        # within noise (the batch loses one window). Opt-in.
+        self.first_window_fast = bool(first_window_fast)
+        # Set after each __call__ that took the fast path: seconds from
+        # call start to window 0's tokens being on host. on_first_result
+        # (assign a callable) receives the decoded window-0 text then.
+        self.last_first_result_s: Optional[float] = None
+        self.on_first_result: Optional[Any] = None
         # Long-form file uploads are cached by host-array identity: the
         # axon tunnel leaks host RSS per device_put and its transfer
         # latency collapses as leaks accumulate (utils/devcache.py), so
@@ -169,6 +187,8 @@ class ASRPipeline:
         chunk_length_s: Optional[float] = None,
         batch_size: Optional[int] = None,
     ) -> Dict[str, Any]:
+        self._call_t0 = time.perf_counter()
+        self.last_first_result_s = None
         if isinstance(audio, str):
             audio = load_audio(audio, sr=SAMPLE_RATE)
         audio = np.asarray(audio, dtype=np.float32)
@@ -513,7 +533,36 @@ class ASRPipeline:
         langs: List[Optional[str]] = []
         pending: List[Tuple[Any, int, int]] = []
 
+        # First-window fast path (batched long-form TTFT, see __init__):
+        # window 0 dispatches on the single-window program BEFORE the
+        # batched groups, so it finishes first on the in-order device
+        # queue; consume_first blocks on it right after group 1 is
+        # queued (the device is never idle) and must run before any
+        # batch drain so seqs stays in window order. Output tokens are
+        # identical to the batched path (greedy; regression-tested).
+        first_h = None
+        if (bsz > 1 and self.first_window_fast and len(offsets) > 1
+                and hasattr(self.engine, "transcribe_window_async")):
+            first_h = self.engine.transcribe_window_async(
+                dev_audio, int(offsets[0]), win, bucket_samples, opts,
+                use_pallas=self._use_pallas)
+            first_off, first_len = offsets[0], lens[0]
+            offsets, lens = offsets[1:], lens[1:]
+
+        def consume_first():
+            nonlocal first_h
+            if first_h is None:
+                return
+            h, first_h = first_h, None
+            self._consume_result(h.result(), [first_len], 0, [first_off],
+                                 opts, want_words, False, None,
+                                 seqs, ts_seqs, lp_seqs, langs)
+            self.last_first_result_s = time.perf_counter() - self._call_t0
+            if self.on_first_result is not None:
+                self.on_first_result(self._decode(seqs[0]))
+
         def drain_one():
+            consume_first()
             h, s_, n_ = pending.pop(0)
             self._consume_result(h.result(), lens[s_: s_ + n_], s_, offsets,
                                  opts, want_words, False, None,
@@ -554,6 +603,7 @@ class ASRPipeline:
                         dev_audio, group, win, bucket_samples, opts,
                         use_pallas=self._use_pallas)
                 pending.append((handle, start, len(group)))
+                consume_first()   # group 1 is queued; block on window 0
                 if len(pending) > depth:
                     drain_one()
                 start += len(group)
@@ -584,6 +634,7 @@ class ASRPipeline:
                     dev_audio, group, win, bucket_samples, opts,
                     use_pallas=self._use_pallas)
             pending.append((handle, start, len(group)))
+            consume_first()   # group 1 is queued; block on window 0
             if len(pending) > depth:
                 drain_one()
             start += len(group)
